@@ -1,0 +1,113 @@
+"""Inference helper: sequential / pairwise prediction with fixed shapes.
+
+Port of the reference ModelInferenceHelper semantics
+(/root/reference/deepclr/models/base.py:56-136): in sequential mode every
+LiDAR frame is encoded exactly once; the previous frame's encoded features are
+cached as state so each registration only runs the motion embedding + head.
+
+TPU adaptation: clouds are padded / subsampled to a fixed ``num_points``
+buffer (instead of random-cropping pairs to equal size) so the jitted encode /
+register programs compile once and are reused for the whole sequence.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .deepclr import DeepCLR
+
+__all__ = ["ModelInferenceHelper", "pad_cloud"]
+
+
+def pad_cloud(points: np.ndarray, num_points: int, rng: Optional[np.random.Generator] = None):
+    """Pad (with zeros + mask) or subsample a cloud to exactly num_points.
+
+    Returns (points (num_points, D) float32, mask (num_points,) bool).
+    Subsampling is uniform-random like the reference's stack()
+    (models/base.py:122-136).
+    """
+    n, d = points.shape
+    if n >= num_points:
+        if n > num_points:
+            rng = rng or np.random.default_rng(0)
+            sel = rng.choice(n, size=num_points, replace=False)
+            points = points[sel]
+        return points.astype(np.float32), np.ones(num_points, bool)
+    out = np.zeros((num_points, d), np.float32)
+    out[:n] = points
+    mask = np.zeros(num_points, bool)
+    mask[:n] = True
+    return out, mask
+
+
+class ModelInferenceHelper:
+    """Stateful convenience wrapper over the pure encode/register functions."""
+
+    def __init__(self, model: DeepCLR, variables, is_sequential: bool = False,
+                 num_points: int = 16384, seed: int = 0):
+        self._model = model
+        self._variables = variables
+        self._input_dim = model.input_dim
+        self._is_sequential = is_sequential
+        self._num_points = num_points
+        self._state = None
+        self._rng = np.random.default_rng(seed)
+
+        self._encode = jax.jit(
+            lambda v, pts, mask: model.apply(v, pts, mask, method=DeepCLR.encode)
+        )
+        self._register = jax.jit(
+            lambda v, f0, f1: model.apply(v, f0, f1, method=DeepCLR.register)
+        )
+
+    def has_state(self) -> bool:
+        return self._state is not None
+
+    def reset_state(self) -> None:
+        """Drop cached features, e.g. when a new sequence starts."""
+        self._state = None
+
+    def _check_dim(self, cloud: np.ndarray, name: str) -> np.ndarray:
+        if cloud.shape[1] > self._input_dim:
+            cloud = cloud[:, : self._input_dim]
+        elif cloud.shape[1] < self._input_dim:
+            raise RuntimeError(f"Wrong point dimension in {name}.")
+        return cloud
+
+    def encode_cloud(self, cloud: np.ndarray):
+        """Encode one raw cloud (N, D) -> (1, P, 3+C) device features."""
+        cloud = self._check_dim(np.asarray(cloud), "cloud")
+        pts, mask = pad_cloud(cloud, self._num_points, self._rng)
+        return self._encode(self._variables, pts[None], mask[None])
+
+    def predict(self, source: np.ndarray,
+                template: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
+        """Predict the transform aligning source to template.
+
+        Sequential mode: pass only ``source`` per frame; returns None on the
+        first frame (no template yet).  Pairwise mode: pass both clouds.
+        """
+        if self._is_sequential:
+            if template is not None:
+                raise RuntimeError(
+                    "Only the source cloud is required for sequential prediction."
+                )
+            feats = self.encode_cloud(source)
+            if self._state is None:
+                self._state = feats
+                return None
+            y = self._register(self._variables, self._state, feats)
+            self._state = feats
+            return np.asarray(y[0])
+
+        if template is None:
+            raise RuntimeError(
+                "Source and template clouds are required for non-sequential prediction."
+            )
+        f0 = self.encode_cloud(template)
+        f1 = self.encode_cloud(source)
+        y = self._register(self._variables, f0, f1)
+        return np.asarray(y[0])
