@@ -1,0 +1,152 @@
+"""Data loader: dataset -> transforms -> fixed-shape batches -> prefetch.
+
+Replaces the reference's Tensorpack ZMQ multi-process pipeline
+(data/build.py:169-241) with a thread-pool map (the transforms are
+numpy-heavy and release the GIL in practice) plus a producer thread feeding a
+bounded queue, so host preprocessing overlaps device compute.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, List, Optional, Union
+
+import numpy as np
+
+from ..geometry import LabelType
+from .batching import BatchBuilder
+from .datasets import build_dataset
+from .transforms import build_transform
+
+__all__ = ["DataLoader", "make_dataflow", "make_data_loader"]
+
+DEFAULT_NUM_POINTS = 16384
+
+
+def _map_iter(it: Iterator, fn: Callable, workers: int, buffer: int) -> Iterator:
+    """Map fn over an iterator with a thread pool, preserving order."""
+    if workers <= 0:
+        for x in it:
+            yield fn(x)
+        return
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending = []
+        depth = max(buffer, workers * 2)
+        for x in it:
+            pending.append(pool.submit(fn, x))
+            if len(pending) >= depth:
+                yield pending.pop(0).result()
+        for f in pending:
+            yield f.result()
+
+
+class _Prefetcher:
+    """Producer thread + bounded queue."""
+
+    def __init__(self, make_iter: Callable[[], Iterator], buffer_size: int):
+        self._make_iter = make_iter
+        self._buffer_size = max(1, buffer_size)
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(self._buffer_size)
+        stop = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for item in self._make_iter():
+                    q.put(item)
+            except BaseException as e:  # propagate into consumer
+                err.append(e)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        if err:
+            raise err[0]
+
+
+class DataLoader:
+    """Iterable of fixed-shape batch dicts with a length, reset per epoch."""
+
+    def __init__(self, cfg, is_train: bool,
+                 source: Optional[Union[str, List]] = None,
+                 batch_size: Optional[int] = None):
+        self._cfg = cfg
+        self._is_train = is_train
+        self._source = source
+        self._batch_size = batch_size or cfg.data_loader.batch_size
+        self._num_points = cfg.data_loader.num_points or DEFAULT_NUM_POINTS
+        self._epoch = 0
+        self._len: Optional[int] = None
+
+    def _dataset(self, seed: int):
+        source = self._source
+        if source is None:
+            source = (
+                self._cfg.data.training if self._is_train
+                else self._cfg.data.validation
+            )
+        return build_dataset(
+            self._cfg.data.dataset_type, source,
+            shuffle=self._is_train, seed=seed,
+        )
+
+    def __len__(self) -> int:
+        if self._len is None:
+            n = len(self._dataset(seed=0))
+            if self._is_train:
+                self._len = n // self._batch_size  # drop remainder: stable shapes
+            else:
+                bs = self._batch_size
+                self._len = (n + bs - 1) // bs
+        return self._len
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        self._epoch += 1
+        seed = self._cfg.seed * 100003 + self._epoch
+        ds = self._dataset(seed=seed)
+        transform = build_transform(
+            self._cfg, is_training=self._is_train,
+            rng=np.random.default_rng(seed + 1),
+        )
+        batcher = BatchBuilder(
+            self._batch_size,
+            LabelType.create(self._cfg.model.label_type),
+            self._num_points,
+            remainder=not self._is_train,
+            seed=seed + 2,
+        )
+        workers = self._cfg.data_loader.num_workers if self._is_train else 0
+        buffer = self._cfg.data_loader.buffer_size
+
+        def make_iter():
+            mapped = _map_iter(iter(ds), transform, workers, buffer)
+            return batcher(mapped)
+
+        if buffer > 0:
+            yield from _Prefetcher(make_iter, buffer)
+        else:
+            yield from make_iter()
+
+
+def make_dataflow(cfg, is_train: bool, source=None, batch_size=None):
+    """Reference-named alias: the full dataflow is the DataLoader itself."""
+    return DataLoader(cfg, is_train, source=source, batch_size=batch_size)
+
+
+def make_data_loader(cfg, is_train: bool, **kwargs) -> Optional[DataLoader]:
+    """Create a loader; returns None when the split has no data configured."""
+    source = kwargs.pop("source", None)
+    if source is None:
+        configured = cfg.data.training if is_train else cfg.data.validation
+        if configured is None:
+            return None
+    return DataLoader(cfg, is_train, source=source, **kwargs)

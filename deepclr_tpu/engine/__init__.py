@@ -1,0 +1,20 @@
+from .checkpoint import Checkpointer, restore_checkpoint
+from .trainer import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    run_trainer,
+    train,
+)
+
+__all__ = [
+    "Checkpointer",
+    "restore_checkpoint",
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "make_eval_step",
+    "run_trainer",
+    "train",
+]

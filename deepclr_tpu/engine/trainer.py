@@ -1,0 +1,444 @@
+"""Training engine: one jitted, data-parallel train step + host-side loop.
+
+Re-architecture of the reference's ignite-based engine
+(/root/reference/deepclr/engine/{trainer.py,engines.py}): same observable
+behavior — gradient accumulation, running-average metrics, periodic
+log/summary/checkpoint/validation events, interrupt/exception checkpoints —
+but with the entire compute (forward, loss, metrics, grad accumulation,
+optimizer incl. lookahead, metric EMAs) inside a single jit-compiled function
+over a data-parallel device mesh.
+"""
+from __future__ import annotations
+
+import math
+import os
+import os.path as osp
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..evaluation import Evaluator
+from ..losses import make_loss_fn, make_metric_fns
+from ..models import build_model, init_params
+from ..parallel import make_mesh, replicate_sharding, shard_batch
+from ..solver import make_optimizer, make_schedule
+from ..utils.logging import create_logger, create_summary_writer
+from .checkpoint import Checkpointer, restore_checkpoint
+
+__all__ = ["TrainState", "make_train_step", "make_eval_step", "train", "run_trainer"]
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Everything the jitted step mutates, as one donated pytree."""
+
+    step: jnp.ndarray          # micro-iteration counter (int32)
+    params: Any
+    batch_stats: Any           # {} when the model has no BatchNorm
+    opt_state: Any
+    grad_acc: Any              # accumulated grads (zeros between updates)
+    metrics_ema: Dict[str, jnp.ndarray]
+    rng: jax.Array
+
+
+_BATCH_KEYS = (
+    "template", "source", "template_mask", "source_mask",
+    "aug_template", "aug_source", "y",
+)
+
+
+def _device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    return {k: batch[k] for k in _BATCH_KEYS if k in batch}
+
+
+def create_train_state(model, variables, optimizer, metric_names,
+                       seed: int = 0) -> TrainState:
+    # Copy leaves: the state is donated into the jitted step, so it must not
+    # alias the caller's buffers.
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True), variables["params"]
+    )
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(params),
+        grad_acc=jax.tree_util.tree_map(jnp.zeros_like, params),
+        metrics_ema={n: jnp.zeros([], jnp.float32) for n in metric_names},
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+def make_train_step(model, optimizer, loss_fn, metric_fns,
+                    accumulation_steps: int = 1, ema_alpha: float = 0.5,
+                    use_model_loss: bool = False) -> Callable:
+    """Build the jitted train step: (state, batch, lr) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], lr):
+        rng = jax.random.fold_in(state.rng, state.step)
+        has_bn = bool(state.batch_stats)
+
+        def compute(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+            kwargs = dict(
+                y=batch["y"], train=True, rngs={"dropout": rng},
+            )
+            if has_bn:
+                kwargs["mutable"] = ["batch_stats"]
+            out = model.apply(
+                variables,
+                batch["template"], batch["source"],
+                batch.get("template_mask"), batch.get("source_mask"),
+                batch.get("aug_template"), batch.get("aug_source"),
+                **kwargs,
+            )
+            if has_bn:
+                (y_pred, model_loss), updated = out
+            else:
+                (y_pred, model_loss), updated = out, {}
+            loss = model_loss if use_model_loss else loss_fn(y_pred, batch["y"])
+            return loss, (y_pred, updated)
+
+        (loss, (y_pred, updated)), grads = jax.value_and_grad(
+            compute, has_aux=True
+        )(state.params)
+
+        # grad accumulation (reference: loss / accumulation_steps then step
+        # every k iterations, engines.py:72-77)
+        grads = jax.tree_util.tree_map(
+            lambda g: g / accumulation_steps, grads
+        )
+        grad_acc = jax.tree_util.tree_map(
+            lambda a, g: a + g, state.grad_acc, grads
+        )
+        step = state.step + 1
+        do_update = (step % accumulation_steps) == 0
+
+        opt_state = state.opt_state
+        if hasattr(opt_state, "hyperparams"):
+            opt_state = opt_state._replace(
+                hyperparams={**opt_state.hyperparams,
+                             "learning_rate": jnp.asarray(lr, jnp.float32)}
+            )
+
+        def apply_update(args):
+            params, opt_state, acc = args
+            updates, new_opt = optimizer.update(acc, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, acc)
+            return new_params, new_opt, zeros
+
+        params, opt_state, grad_acc = jax.lax.cond(
+            do_update, apply_update, lambda args: args,
+            (state.params, opt_state, grad_acc),
+        )
+
+        # step metrics + running averages (ignite RunningAverage semantics)
+        step_metrics = {"loss": loss / accumulation_steps, "loss_fn": loss}
+        for name, fn in metric_fns.items():
+            step_metrics[name] = fn(y_pred, batch["y"])
+        is_first = state.step == 0
+        ema = {
+            k: jnp.where(
+                is_first, v, state.metrics_ema[k] * ema_alpha + (1 - ema_alpha) * v
+            )
+            for k, v in step_metrics.items()
+        }
+
+        new_state = TrainState(
+            step=step,
+            params=params,
+            batch_stats=updated.get("batch_stats", state.batch_stats),
+            opt_state=opt_state,
+            grad_acc=grad_acc,
+            metrics_ema=ema,
+            rng=state.rng,
+        )
+        return new_state, ema
+
+    return jax.jit(train_step, donate_argnums=0)
+
+
+def make_eval_step(model, metric_fns) -> Callable:
+    """Jitted validation step: (state, batch) -> (y_pred, metrics)."""
+
+    def eval_step(state: TrainState, batch):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        y_pred, _ = model.apply(
+            variables,
+            batch["template"], batch["source"],
+            batch.get("template_mask"), batch.get("source_mask"),
+            batch.get("aug_template"), batch.get("aug_source"),
+            train=False,
+        )
+        metrics = {name: fn(y_pred, batch["y"]) for name, fn in metric_fns.items()}
+        return y_pred, metrics
+
+    return jax.jit(eval_step)
+
+
+def store_models_code(path: str) -> None:
+    """Snapshot the model source next to the checkpoints (reference
+    store_models_code, models/build.py:32-41)."""
+    import shutil
+
+    src = osp.join(osp.dirname(osp.dirname(osp.realpath(__file__))), "models")
+    os.makedirs(path, exist_ok=True)
+    for f in os.listdir(src):
+        if f.endswith(".py"):
+            shutil.copy(osp.join(src, f), osp.join(path, f))
+
+
+def train(cfg) -> None:
+    """Full training entry point (reference engine/trainer.py:25-89)."""
+    model = build_model(cfg.model)
+    num_points = cfg.data_loader.num_points or 2048
+    variables = init_params(
+        model, jax.random.PRNGKey(cfg.seed), num_points=num_points,
+        batch_size=1,
+    )
+    optimizer = make_optimizer(cfg)
+    schedule = make_schedule(cfg)
+
+    loss_fn = make_loss_fn(cfg.metrics.loss, cfg.model.label_type)
+    metric_fns = make_metric_fns(
+        cfg.metrics.loss, cfg.metrics.other, cfg.model.label_type
+    )
+
+    from ..data import make_data_loader
+
+    train_loader = make_data_loader(cfg, is_train=True)
+    val_loader = make_data_loader(cfg, is_train=False)
+
+    run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
+                schedule, loss_fn, metric_fns)
+
+
+def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
+                schedule, loss_fn, metric_fns,
+                mesh=None) -> TrainState:
+    """The training loop; returns the final state (for tests)."""
+    if cfg.output_dir:
+        # experiment artifacts: config snapshots + model source code copy
+        # (reference trainer.py:32-36)
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        cfg.write_file(osp.join(cfg.output_dir, "config.yaml"))
+        cfg.model.write_file(osp.join(cfg.output_dir, "model_config.yaml"))
+        store_models_code(osp.join(cfg.output_dir, "models"))
+
+    logger = create_logger(name="train", save_dir=cfg.output_dir)
+    writer = create_summary_writer(cfg.output_dir) if cfg.output_dir else None
+
+    log_period = cfg.logging.log_period
+    summary_period = cfg.logging.summary_period
+    checkpoint_period = cfg.logging.checkpoint_period
+    validation_period = cfg.logging.validation_period
+    accumulation_steps = cfg.optimizer.accumulation_steps
+    alpha = cfg.metrics.running_average_alpha
+    label_type = cfg.model.label_type
+    batch_size = cfg.data_loader.batch_size
+
+    # epochs (reference trainer.py:119-127)
+    loader_len = len(train_loader)
+    max_iterations = cfg.optimizer.max_iterations
+    if max_iterations is not None:
+        iteration_epochs = int(math.ceil(max_iterations / loader_len))
+        if cfg.optimizer.max_epochs is not None:
+            epochs = min(cfg.optimizer.max_epochs, iteration_epochs)
+        else:
+            epochs = iteration_epochs
+    else:
+        epochs = cfg.optimizer.max_epochs
+        max_iterations = epochs * loader_len
+
+    if mesh is None:
+        mesh = make_mesh()
+    use_model_loss = model.loss_module is not None
+
+    train_step = make_train_step(
+        model, optimizer, loss_fn, metric_fns,
+        accumulation_steps=accumulation_steps, ema_alpha=alpha,
+        use_model_loss=use_model_loss,
+    )
+    eval_step = make_eval_step(model, {**metric_fns, "loss_fn": loss_fn})
+
+    state = create_train_state(
+        model, variables, optimizer,
+        metric_names=["loss", "loss_fn", *metric_fns.keys()],
+        seed=cfg.seed,
+    )
+
+    start_epoch = 0
+    iteration = 0
+    if cfg.checkpoint is not None:
+        restored = restore_checkpoint(cfg.checkpoint, state)
+        state = restored["state"]
+        start_epoch = restored["epoch"]
+        iteration = restored["iteration"]
+        logger.info(f"Restored checkpoint at epoch {start_epoch}, "
+                    f"iteration {iteration}")
+
+    state = jax.device_put(state, replicate_sharding(mesh))
+
+    checkpointer = None
+    if cfg.output_dir:
+        checkpointer = Checkpointer(
+            cfg.output_dir, n_saved=cfg.logging.checkpoint_n_saved
+        )
+
+    logger.info(f"Start training for {epochs} epochs "
+                f"({max_iterations} iterations, mesh={mesh.shape})")
+
+    validation_count = 0
+
+    def scheduler_count() -> int:
+        if cfg.scheduler.on_iteration:
+            return iteration
+        if cfg.scheduler.on_validation:
+            return validation_count
+        return epoch  # on_epoch
+
+    def run_validation(state) -> None:
+        nonlocal validation_count
+        if val_loader is None:
+            return
+        eval_export = Evaluator()
+        sums: Dict[str, float] = {}
+        count = 0
+        for vbatch in val_loader:
+            dev = shard_batch(_device_batch(vbatch), mesh)
+            y_pred, metrics = eval_step(state, dev)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+            y_pred_h = np.asarray(y_pred)
+            y_gt_h = np.asarray(vbatch["y"])
+            m_pred = np.asarray(label_type.to_matrix(y_pred_h))
+            m_gt = np.asarray(label_type.to_matrix(y_gt_h))
+            names = vbatch.get("d", ["val"] * y_gt_h.shape[0])
+            stamps = vbatch.get("t", np.zeros(y_gt_h.shape[0]))
+            for i in range(y_gt_h.shape[0]):
+                eval_export.add_transforms(
+                    str(names[i]), float(np.ravel(stamps[i])[-1]),
+                    m_pred[i], m_gt[i],
+                )
+        if count == 0:
+            return
+        means = {k: v / count for k, v in sums.items()}
+        logger.info(
+            f"Validation Results - Epoch[{epoch}] Iteration[{iteration}] "
+            f"Avg Loss: {means.get('loss_fn', float('nan')):.6f}"
+        )
+        validation_count += 1
+        if writer is None:
+            return
+        for k, v in means.items():
+            writer.add_scalar(f"val/{k}", v, iteration)
+        total_step = eval_export.get_total_step_errors()
+        writer.add_scalar("val/step_t_err", total_step.mean.translation.kitti, iteration)
+        writer.add_scalar("val/step_r_err", total_step.mean.rotation.kitti, iteration)
+        if cfg.data.sequential:
+            for name, fig in eval_export.plot_sequences().items():
+                writer.add_figure(f"val/{name}", fig, iteration)
+            writer.add_figure("val/kitti_errors", eval_export.plot_total_kitti_errors(), iteration)
+            writer.add_figure("val/segment_errors", eval_export.plot_segment_error_bars(), iteration)
+            total_seg = eval_export.get_total_segment_errors()
+            writer.add_scalar("val/kitti_t_err", total_seg.mean.translation.kitti, iteration)
+            writer.add_scalar("val/kitti_r_err", total_seg.mean.rotation.kitti, iteration)
+
+    def save_ckpt(special: Optional[str] = None) -> None:
+        if checkpointer is None:
+            return
+        host_state = jax.device_get(state)
+        if special is not None:
+            checkpointer.save_special_checkpoint(
+                special, epoch, iteration, host_state, host_state.params
+            )
+        else:
+            checkpointer.save_checkpoint(
+                epoch, iteration, host_state, host_state.params
+            )
+
+    epoch = start_epoch
+    t_epoch = time.monotonic()
+    n_batches_epoch = 0
+    try:
+        done = False
+        for epoch in range(start_epoch, epochs):
+            t_epoch = time.monotonic()
+            n_batches_epoch = 0
+            metrics = None
+            for batch in train_loader:
+                lr = schedule(scheduler_count())
+                dev = shard_batch(_device_batch(batch), mesh)
+                state, metrics = train_step(state, dev, np.float32(lr))
+                iteration += 1
+                n_batches_epoch += 1
+
+                if iteration % log_period == 0:
+                    loss_val = float(metrics["loss"])
+                    if not np.isfinite(loss_val):
+                        raise ValueError(f"Invalid loss: {loss_val}")
+                    it_e = (iteration - 1) % loader_len + 1
+                    logger.info(
+                        f"Epoch[{epoch + 1}] Iteration[{it_e}/{loader_len}] "
+                        f"Loss: {loss_val:.6f}"
+                    )
+                if writer is not None and iteration % summary_period == 0:
+                    for k, v in metrics.items():
+                        writer.add_scalar(f"train/{k}", float(v), iteration)
+                    writer.add_scalar("params/lr", lr, iteration)
+                    loss_params = jax.device_get(state.params).get("loss_module")
+                    if loss_params:
+                        for k, v in loss_params.items():
+                            writer.add_scalar(
+                                f"params/{k}", float(np.ravel(v)[0]), iteration
+                            )
+                if iteration % checkpoint_period == 0:
+                    save_ckpt()
+                if iteration % validation_period == 0:
+                    run_validation(state)
+                if iteration >= max_iterations:
+                    done = True
+                    break
+
+            dt = time.monotonic() - t_epoch
+            if n_batches_epoch and metrics is not None:
+                tpb = dt / n_batches_epoch
+                logger.info(
+                    f"Epoch {epoch + 1} done. Avg Loss: {float(metrics['loss']):.6f} "
+                    f"Time per batch: {tpb:.3f}[s] "
+                    f"Speed: {batch_size / tpb:.1f}[samples/s]"
+                )
+            if done:
+                break
+
+        logger.info("Training completed")
+        run_validation(state)
+        save_ckpt("final")
+
+    except KeyboardInterrupt:
+        logger.info("KeyboardInterrupt. Stopping training.")
+        save_ckpt("interrupt")
+    except Exception as e:
+        logger.info(f"{type(e).__name__} raised:")
+        logger.info(str(e))
+        save_ckpt("exception")
+        raise
+
+    finally:
+        if writer is not None:
+            writer.flush()
+            writer.close()
+
+    return state

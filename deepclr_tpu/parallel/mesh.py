@@ -1,0 +1,54 @@
+"""Device mesh and sharding helpers.
+
+The reference has no multi-device training at all (SURVEY §2.4); the TPU
+framework's distributed story is jax-native: a 1-D ``dp`` mesh over which the
+batch of cloud pairs is sharded, with parameters/optimizer state replicated.
+XLA inserts the gradient psum automatically when the jitted train step
+consumes sharded batches and produces replicated parameter updates.
+
+The same code path runs single-chip (mesh of one device) and on pods; tests
+exercise it on a virtual 8-device CPU mesh.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "replicate_sharding", "shard_batch"]
+
+BATCH_AXIS = "dp"
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = BATCH_AXIS) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = BATCH_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dimension across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated placement (params, optimizer state)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = BATCH_AXIS) -> dict:
+    """Device-put every array in a batch dict with its batch axis sharded.
+
+    Non-array entries (names, timestamps kept host-side) pass through.
+    """
+    sharding = batch_sharding(mesh, axis)
+
+    def put(x):
+        if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 1:
+            return jax.device_put(x, sharding)
+        return x
+
+    return {k: put(v) for k, v in batch.items()}
