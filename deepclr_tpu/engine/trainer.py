@@ -26,7 +26,7 @@ import optax
 from ..evaluation import Evaluator
 from ..losses import make_loss_fn, make_metric_fns
 from ..models import build_model, init_params
-from ..parallel import make_mesh, replicate_sharding, shard_batch
+from ..parallel import make_mesh_for_batch, replicate_sharding, shard_batch
 from ..solver import make_optimizer, make_schedule
 from ..utils.logging import create_logger, create_summary_writer
 from .checkpoint import Checkpointer, restore_checkpoint
@@ -262,7 +262,7 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
         max_iterations = epochs * loader_len
 
     if mesh is None:
-        mesh = make_mesh()
+        mesh = make_mesh_for_batch(batch_size)
     use_model_loss = model.loss_module is not None
 
     train_step = make_train_step(

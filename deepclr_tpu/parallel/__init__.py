@@ -1,3 +1,15 @@
-from .mesh import batch_sharding, make_mesh, replicate_sharding, shard_batch
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    make_mesh_for_batch,
+    replicate_sharding,
+    shard_batch,
+)
 
-__all__ = ["make_mesh", "shard_batch", "batch_sharding", "replicate_sharding"]
+__all__ = [
+    "make_mesh",
+    "make_mesh_for_batch",
+    "shard_batch",
+    "batch_sharding",
+    "replicate_sharding",
+]

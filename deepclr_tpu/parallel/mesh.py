@@ -29,6 +29,17 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = BATCH_AXIS) -> Mes
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_for_batch(batch_size: int, devices: Optional[Sequence] = None,
+                        axis: str = BATCH_AXIS) -> Mesh:
+    """Largest data-parallel mesh whose size divides the batch size."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis,))
+
+
 def batch_sharding(mesh: Mesh, axis: str = BATCH_AXIS) -> NamedSharding:
     """Shard the leading (batch) dimension across the mesh."""
     return NamedSharding(mesh, P(axis))
