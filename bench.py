@@ -1,0 +1,59 @@
+"""Throughput benchmark: 16k-point KITTI cloud-pair registrations per second
+on one chip, with the flagship DeepCLR model (bf16 compute).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against the BASELINE.json north-star of >2000
+pairs/s on a v5e-8, i.e. 250 pairs/s/chip (the reference publishes no
+absolute GPU numbers — BASELINE.md).
+"""
+import json
+import time
+
+import jax
+import numpy as np
+
+from __graft_entry__ import KITTI_MODEL_CFG, _clouds
+
+BASELINE_PAIRS_PER_SEC_PER_CHIP = 250.0
+
+
+def main():
+    from deepclr_tpu.models import build_model, init_params
+
+    batch, n = 8, 16384
+    model = build_model(KITTI_MODEL_CFG)
+    variables = init_params(model, jax.random.PRNGKey(0), num_points=n,
+                            batch_size=batch)
+
+    @jax.jit
+    def forward(variables, template, source):
+        y_pred, _ = model.apply(variables, template, source)
+        return y_pred
+
+    template = _clouds(batch, n, 4, seed=1)
+    source = _clouds(batch, n, 4, seed=2)
+
+    # warmup / compile
+    forward(variables, template, source).block_until_ready()
+    forward(variables, template, source).block_until_ready()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, template, source)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "kitti_16k_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,9 +58,14 @@ def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
     """
 
     def init_fn(params):
+        # copy=True: the slow weights must not alias the live parameters —
+        # both live in the (donated) train state and XLA forbids donating
+        # the same buffer twice.
         return LookaheadState(
             inner_state=inner.init(params),
-            slow_params=jax.tree_util.tree_map(jnp.asarray, params),
+            slow_params=jax.tree_util.tree_map(
+                lambda p: jnp.array(p, copy=True), params
+            ),
             count=jnp.zeros([], jnp.int32),
         )
 
