@@ -101,7 +101,10 @@ def build_model(model_cfg) -> DeepCLR:
     cf = _to_plain(params["cloud_features"])
     if cf["name"] != "SetAbstraction":  # pragma: no cover
         raise NotImplementedError(cf["name"])
-    cloud_features = SetAbstraction(**cf.get("params", {}), **common)
+    cloud_features = SetAbstraction(
+        fused=bool(params.get("fused", True)),
+        **cf.get("params", {}), **common,
+    )
 
     mg = _to_plain(params["merge"])
     if mg["name"] != "MotionEmbedding":  # pragma: no cover

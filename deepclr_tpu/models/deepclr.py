@@ -54,6 +54,7 @@ class SetAbstraction(nn.Module):
     mlps: Sequence[Sequence[Sequence[int]]]
     batch_norm: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, points, mask=None, *, train: bool = False):
@@ -73,6 +74,7 @@ class SetAbstraction(nn.Module):
                 use_xyz=True,
                 batch_norm=self.batch_norm,
                 compute_dtype=self.compute_dtype,
+                fused=self.fused,
                 name=f"sa{stage}",
             )(xyz, features, mask=mask, train=train)
             # After the first stage every center is a real (possibly

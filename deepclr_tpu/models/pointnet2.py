@@ -2,22 +2,29 @@
 
 Replaces the reference's PointnetSAModuleMSG CUDA module
 (/root/reference/deepclr/models/deepclr.py:48-94 wrapping the
-sshaoshuai/Pointnet2.PyTorch extension) with a fused XLA program:
-FPS -> ball query -> group(+center) -> per-point MLP -> max over the
-neighborhood — all fixed-shape and mask-aware.
+sshaoshuai/Pointnet2.PyTorch extension).  Two execution paths share one
+parameter layout:
+
+  * fused (default): FPS -> gather-free streaming ball-neighborhood
+    MLP+max (ops.fused_sa) — single pass over the cloud for all MSG scales,
+    Pallas kernel on TPU.  Neighborhoods are the *full* radius ball (the
+    reference truncates to the first ``nsample`` hits; see ops/fused_sa.py).
+  * exact: FPS -> ball_query -> group -> MLP -> max with the reference
+    CUDA kernels' truncation/duplication semantics (index-based; slower on
+    TPU, used for parity validation).
 
 Layout: channel-last.  A cloud is ``(B, N, 3)`` xyz + optional ``(B, N, C)``
 features + ``(B, N)`` bool validity mask.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from .. import ops
-from .layers import MLP
+from ..ops.fused_sa import ball_mlp_max, multi_scale_bundle
 
 __all__ = ["SetAbstractionMSG"]
 
@@ -27,8 +34,9 @@ class SetAbstractionMSG(nn.Module):
 
     Attributes mirror the reference config schema
     (configs/training/kitti_base.yaml:20-26): one npoint with per-scale
-    radii / nsamples / mlps.  ``use_xyz`` prepends centered xyz to the
-    grouped features before the MLP, as the CUDA QueryAndGroup does.
+    radii / nsamples / mlps.  xyz offsets are always prepended to the grouped
+    features (use_xyz=True in every reference config).  ``nsamples`` caps the
+    neighborhood only on the exact path.
     """
 
     npoint: int
@@ -38,48 +46,77 @@ class SetAbstractionMSG(nn.Module):
     use_xyz: bool = True
     batch_norm: bool = False
     compute_dtype: jnp.dtype = jnp.float32
-
-    @property
-    def output_feat_dim(self) -> int:
-        return int(sum(m[-1] for m in self.mlps))
+    fused: bool = True
 
     @nn.compact
-    def __call__(
-        self,
-        xyz,
-        features=None,
-        mask=None,
-        *,
-        train: bool = False,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, xyz, features=None, mask=None, *,
+                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (new_xyz (B, npoint, 3), new_features (B, npoint, F))."""
         assert len(self.radii) == len(self.nsamples) == len(self.mlps)
+        assert self.use_xyz, "use_xyz=False not supported (unused by configs)"
+        if self.batch_norm:
+            raise NotImplementedError(
+                "batch_norm in SetAbstraction is not supported by the fused "
+                "TPU path (reference configs all use batch_norm: False)"
+            )
+
+        feat_dim = 0 if features is None else features.shape[-1]
+        in_dim = 3 + feat_dim
+
+        # shared parameter layout for both paths
+        kinit = nn.initializers.kaiming_normal()
+        binit = nn.initializers.zeros
+        scale_weights, scale_biases = [], []
+        for si, mlp in enumerate(self.mlps):
+            dims = [in_dim, *mlp]
+            ws, bs = [], []
+            for li in range(len(mlp)):
+                ws.append(self.param(
+                    f"scale{si}_w{li}", kinit, (dims[li], dims[li + 1]),
+                    jnp.float32,
+                ))
+                bs.append(self.param(
+                    f"scale{si}_b{li}", binit, (dims[li + 1],), jnp.float32,
+                ))
+            scale_weights.append(ws)
+            scale_biases.append(bs)
 
         fps_idx = ops.furthest_point_sample(xyz, self.npoint, mask=mask)
         new_xyz = ops.gather_points(xyz, fps_idx)  # (B, P, 3)
 
+        if self.fused:
+            weights, biases, radius_cols = multi_scale_bundle(
+                scale_weights, scale_biases, self.radii
+            )
+            new_features = ball_mlp_max(
+                xyz, new_xyz, weights, biases, radius_cols,
+                features=features, mask=mask,
+                compute_dtype=self.compute_dtype,
+            )
+            return new_xyz, new_features
+
+        # exact reference-semantics path (index-based)
         scale_feats = []
-        for si, (radius, nsample, mlp) in enumerate(
-            zip(self.radii, self.nsamples, self.mlps)
-        ):
-            idx = ops.ball_query(xyz, new_xyz, float(radius), int(nsample), mask=mask)
+        for si, (radius, nsample) in enumerate(zip(self.radii, self.nsamples)):
+            idx = ops.ball_query(
+                xyz, new_xyz, float(radius), int(nsample), mask=mask
+            )
             grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
             if features is not None:
-                grouped_feat = ops.group_points(features, idx)
-                if self.use_xyz:
-                    grouped = jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
-                else:
-                    grouped = grouped_feat
+                grouped = jnp.concatenate(
+                    [grouped_xyz, ops.group_points(features, idx)], axis=-1
+                )
             else:
                 grouped = grouped_xyz
+            h = grouped.astype(self.compute_dtype)
+            for w, b in zip(scale_weights[si], scale_biases[si]):
+                h = jnp.maximum(
+                    jnp.dot(
+                        h, w.astype(self.compute_dtype),
+                        preferred_element_type=self.compute_dtype,
+                    ) + b.astype(self.compute_dtype),
+                    0.0,
+                )
+            scale_feats.append(jnp.max(h, axis=-2).astype(jnp.float32))
 
-            h = MLP(
-                tuple(mlp),
-                batch_norm=self.batch_norm,
-                compute_dtype=self.compute_dtype,
-                kernel_init_name="kaiming_normal",
-                name=f"mlp_scale_{si}",
-            )(grouped, train=train)
-            scale_feats.append(jnp.max(h, axis=-2))  # (B, P, mlp[-1])
-
-        return new_xyz, jnp.concatenate(scale_feats, axis=-1).astype(jnp.float32)
+        return new_xyz, jnp.concatenate(scale_feats, axis=-1)

@@ -13,6 +13,7 @@ Two implementation tiers share one public signature:
   * Pallas TPU kernels registered for the hot ops (FPS, kNN, ball query)
     selected automatically on TPU backends.
 """
+from .fused_sa import ball_mlp_max, ball_mlp_max_xla, multi_scale_bundle
 from .pairwise import pairwise_sqdist
 from .fps import furthest_point_sample
 from .ball_query import ball_query
@@ -21,6 +22,9 @@ from .grouping import gather_points, group_points
 from .interpolate import three_nn, three_interpolate
 
 __all__ = [
+    "ball_mlp_max",
+    "ball_mlp_max_xla",
+    "multi_scale_bundle",
     "pairwise_sqdist",
     "furthest_point_sample",
     "ball_query",

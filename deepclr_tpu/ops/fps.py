@@ -67,4 +67,11 @@ def furthest_point_sample_xla(xyz, npoint: int, mask=None):
 
 def furthest_point_sample(xyz, npoint: int, mask=None):
     """Public entry point; dispatches to the best backend implementation."""
+    from .pallas.fps_kernel import (
+        fps_pallas_available,
+        furthest_point_sample_pallas,
+    )
+
+    if fps_pallas_available() and xyz.shape[1] % 128 == 0:
+        return furthest_point_sample_pallas(xyz, npoint, mask=mask)
     return furthest_point_sample_xla(xyz, npoint, mask=mask)

@@ -1,0 +1,213 @@
+"""Fused set-abstraction scale: ball query + grouping + shared MLP + max-pool
+as one gather-free streaming computation.
+
+Why: on TPU, the literal translation of the reference's CUDA pipeline
+(ball_query indices -> grouping_operation gather -> MLP -> max,
+extern/pointnet2.patch:101-174) is bottlenecked by giant scatters/gathers
+(measured: seconds per 16k-point batch).  This formulation never materializes
+indices:
+
+  out[p] = max_{j : ||x_j - c_p|| < r, valid_j} MLP(x_j - c_p ‖ f_j)
+
+* layer 1 is affine in (dx ‖ f), so it splits into a per-point term
+  A_j = x_j·W1x + f_j·W1f + b1 (one N-row matmul) and a per-center term
+  B_p = -c_p·W1x; the pairwise pre-activation is a broadcast add,
+* layers 2..L run on (center, point)-tile blocks — pure MXU matmuls,
+* distances come from the same MXU cross term,
+* out-of-radius / padded pairs are masked to -inf before the running max.
+
+Multi-scale bundles: pass block-diagonal tail weights, concatenated layer-1
+weights, and a per-output-column ``radius`` tuple — all MSG scales then share
+a single pass over the cloud (one distance matrix for every scale).
+
+Semantics vs. the reference: the reference truncates each ball to its first
+``nsample`` hits in index order and pads by duplicating the first hit; this
+computes the max over *all* in-radius points (a superset — identical whenever
+the ball holds <= nsample hits).  Every ball contains its own center (FPS
+picks real points), so balls are never empty.
+
+Differentiation: the Pallas forward kernel pairs with an XLA-scan backward
+(custom_vjp) — training gets the fast forward and a fully-fused gradient.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ball_mlp_max", "ball_mlp_max_xla", "multi_scale_bundle"]
+
+_NEG = jnp.float32(-1e30)
+
+Radius = Union[float, Tuple[float, ...]]
+
+
+def _r2_cols(radius: Radius, h_last: int) -> jnp.ndarray:
+    if isinstance(radius, tuple):
+        r = jnp.asarray(radius, jnp.float32)
+        assert r.shape[0] == h_last
+        return r * r
+    return jnp.full((h_last,), float(radius) ** 2, jnp.float32)
+
+
+def multi_scale_bundle(scale_weights, scale_biases, radii):
+    """Combine per-scale MLP params into one fused bundle.
+
+    Args:
+      scale_weights: list over scales of [w1 (Cin,h1), w2 (h1,h2), ...].
+      scale_biases: matching biases.
+      radii: per-scale radius.
+
+    Returns:
+      (weights, biases, radius_cols) for ball_mlp_max — layer-1 weights
+      concatenated on the output axis, tail layers block-diagonal, and a
+      per-output-column radius tuple (scale masking).
+    """
+    n_layers = len(scale_weights[0])
+    weights = [jnp.concatenate([w[0] for w in scale_weights], axis=1)]
+    biases = [jnp.concatenate([b[0] for b in scale_biases], axis=0)]
+    for li in range(1, n_layers):
+        ws = [w[li] for w in scale_weights]
+        total_in = sum(w.shape[0] for w in ws)
+        total_out = sum(w.shape[1] for w in ws)
+        block = jnp.zeros((total_in, total_out), ws[0].dtype)
+        ri = ci = 0
+        for w in ws:
+            block = jax.lax.dynamic_update_slice(block, w, (ri, ci))
+            ri += w.shape[0]
+            ci += w.shape[1]
+        weights.append(block)
+        biases.append(jnp.concatenate([b[li] for b in scale_biases], axis=0))
+    radius_cols = tuple(
+        float(r)
+        for r, w in zip(radii, scale_weights)
+        for _ in range(w[-1].shape[1])
+    )
+    return weights, biases, radius_cols
+
+
+def _mlp_tail(h, weights, biases, compute_dtype):
+    for w, b in zip(weights, biases):
+        h = jnp.maximum(
+            jnp.dot(h, w.astype(compute_dtype), preferred_element_type=compute_dtype)
+            + b.astype(compute_dtype),
+            0.0,
+        )
+    return h
+
+
+def _xla_impl(xyz, centers, weights, biases, features, m, radius: Radius,
+              chunk: int, compute_dtype):
+    b, n, _ = xyz.shape
+    p = centers.shape[1]
+    w1, b1 = weights[0], biases[0]
+    h_last = weights[-1].shape[-1]
+
+    w1x = w1[:3].astype(jnp.float32)
+    a = jnp.dot(xyz, w1x, preferred_element_type=jnp.float32)
+    if features is not None:
+        a = a + jnp.dot(
+            features, w1[3:].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+    a = a + b1  # (B, N, H1)
+
+    bc = -jnp.dot(centers, w1x, preferred_element_type=jnp.float32)  # (B,P,H1)
+    x2 = jnp.sum(xyz * xyz, axis=-1)
+    c2 = jnp.sum(centers * centers, axis=-1)
+    r2 = _r2_cols(radius, h_last)
+
+    chunk = min(chunk, n)
+    while n % chunk:
+        chunk //= 2
+    n_chunks = n // chunk
+
+    a_s = a.reshape(b, n_chunks, chunk, -1).transpose(1, 0, 2, 3)
+    xyz_s = xyz.reshape(b, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+    x2_s = x2.reshape(b, n_chunks, chunk).transpose(1, 0, 2)
+    m_s = m[..., 0].reshape(b, n_chunks, chunk).transpose(1, 0, 2)
+
+    tail_w = [w.astype(compute_dtype) for w in weights[1:]]
+    tail_b = [x.astype(compute_dtype) for x in biases[1:]]
+
+    def step(carry, inp):
+        a_c, xyz_c, x2_c, m_c = inp
+        cross = jnp.einsum(
+            "bpd,bjd->bpj", centers, xyz_c,
+            preferred_element_type=jnp.float32, precision="highest",
+        )
+        d2 = c2[:, :, None] + x2_c[:, None, :] - 2.0 * cross
+        hit = (d2[..., None] < r2) & (m_c[:, None, :, None] > 0.5)
+
+        h = jnp.maximum(a_c[:, None, :, :] + bc[:, :, None, :], 0.0)
+        h = _mlp_tail(h.astype(compute_dtype), tail_w, tail_b, compute_dtype)
+        h = jnp.where(hit, h.astype(jnp.float32), _NEG)
+        return jnp.maximum(carry, jnp.max(h, axis=2)), None
+
+    init = jnp.full((b, p, h_last), _NEG, jnp.float32)
+    out, _ = jax.lax.scan(step, init, (a_s, xyz_s, x2_s, m_s))
+    return jnp.where(out <= _NEG / 2, 0.0, out)
+
+
+@partial(jax.jit, static_argnames=("radius", "chunk", "compute_dtype"))
+def ball_mlp_max_xla(xyz, centers, weights, biases, radius: Radius,
+                     features=None, mask=None, chunk: int = 512,
+                     compute_dtype=jnp.bfloat16):
+    """Portable (lax.scan) implementation; runs on any backend."""
+    b, n, _ = xyz.shape
+    m = (jnp.ones((b, n, 1), jnp.float32) if mask is None
+         else mask.astype(jnp.float32)[..., None])
+    return _xla_impl(xyz, centers, tuple(weights), tuple(biases), features,
+                     m, radius, chunk, compute_dtype)
+
+
+def ball_mlp_max(xyz, centers, weights, biases, radius: Radius,
+                 features=None, mask=None, chunk: int = 512,
+                 compute_dtype=jnp.bfloat16):
+    """Fused radius-neighborhood PointNet scale (differentiable).
+
+    Forward runs the Pallas TPU kernel when on TPU (XLA scan elsewhere);
+    backward always differentiates the XLA formulation.
+    """
+    from .pallas.fused_sa_kernel import ball_mlp_max_pallas, pallas_available
+
+    use_pallas = pallas_available()
+    radius_t = radius if isinstance(radius, tuple) else float(radius)
+    weights = tuple(weights)
+    biases = tuple(biases)
+    b, n, _ = xyz.shape
+    m = (jnp.ones((b, n, 1), jnp.float32) if mask is None
+         else mask.astype(jnp.float32)[..., None])
+
+    @jax.custom_vjp
+    def f(xyz, centers, weights, biases, features, m):
+        if use_pallas:
+            real_mask = m[..., 0] > 0.5
+            return ball_mlp_max_pallas(
+                xyz, centers, weights, biases, radius_t,
+                features=features, mask=real_mask, compute_dtype=compute_dtype,
+            )
+        return _xla_impl(xyz, centers, weights, biases, features, m,
+                         radius_t, chunk, compute_dtype)
+
+    def f_fwd(xyz, centers, weights, biases, features, m):
+        return f(xyz, centers, weights, biases, features, m), (
+            xyz, centers, weights, biases, features, m,
+        )
+
+    def f_bwd(res, g):
+        xyz, centers, weights, biases, features, m = res
+        _, vjp = jax.vjp(
+            lambda xyz, centers, weights, biases, features: _xla_impl(
+                xyz, centers, weights, biases, features, m,
+                radius_t, chunk, compute_dtype,
+            ),
+            xyz, centers, weights, biases, features,
+        )
+        grads = vjp(g)
+        return (*grads, jnp.zeros_like(m))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(xyz, centers, weights, biases, features, m)

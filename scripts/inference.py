@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Model inference for an evaluation scenario.
+
+CLI parity with reference scripts/inference.py: loads model_config.yaml +
+weights from $MODEL_PATH/MODEL_NAME, runs sequential or pairwise inference
+over each scenario data file, times every prediction, and writes per-sequence
+txt files (26-column format) + scenario.yaml into
+OUTPUT_BASE/{stamp}_{scenario}_{model_type}/.
+"""
+import argparse
+import os
+import os.path as osp
+import time
+from datetime import datetime
+
+import numpy as np
+import yaml
+
+from deepclr_tpu.config import load_model_config
+from deepclr_tpu.data import create_input_dataflow
+from deepclr_tpu.evaluation import Evaluator, load_scenario
+from deepclr_tpu.geometry.hostmath import label_to_matrix_np
+from deepclr_tpu.models import ModelInferenceHelper, build_model, init_params, load_weights
+from deepclr_tpu.utils.logging import create_logger
+
+DEFAULT_NUM_POINTS = 16384
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Model inference for evaluation scenario."
+    )
+    parser.add_argument("scenario", type=str, help="scenario configuration (*.yaml)")
+    parser.add_argument("model_name", type=str,
+                        help="model name (subdirectory of MODEL_PATH)")
+    parser.add_argument("output_base", type=str,
+                        help="base directory for inference output")
+    parser.add_argument("--model_path", type=str, default=None,
+                        help="alternative model path instead of MODEL_PATH")
+    parser.add_argument("--weights", type=str, default="weights.msgpack",
+                        help="model weights (default: weights.msgpack)")
+    parser.add_argument("--num_points", type=int, default=DEFAULT_NUM_POINTS,
+                        help="fixed padded cloud size for the compiled model")
+    args = parser.parse_args()
+
+    logger = create_logger("evaluation")
+
+    logger.info("Loading scenario")
+    scene_cfg = load_scenario(args.scenario, with_method=False)
+
+    model_base_path = args.model_path or os.getenv("MODEL_PATH")
+    if model_base_path is None:
+        raise RuntimeError(
+            "Could not get model path from environment variable MODEL_PATH or argument."
+        )
+    model_path = osp.join(model_base_path, args.model_name)
+    model_file = osp.join(model_path, "model_config.yaml")
+    weights_file = osp.join(model_path, args.weights)
+
+    logger.info("Read model configuration")
+    model_cfg = load_model_config(model_file, weights_file)
+
+    logger.info("Load model")
+    import jax
+
+    model = build_model(model_cfg)
+    variables = init_params(model, jax.random.PRNGKey(0),
+                            num_points=args.num_points)
+    variables = load_weights(weights_file, variables)
+
+    helper = ModelInferenceHelper(
+        model, variables, is_sequential=scene_cfg.sequential,
+        num_points=args.num_points,
+    )
+    evaluator = Evaluator()
+
+    output_stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    output_dir = osp.join(
+        args.output_base,
+        f"{output_stamp}_{scene_cfg.name}_{model_cfg.model_type.name}",
+    )
+    logger.info("Create output directory")
+    os.makedirs(output_dir, exist_ok=True)
+
+    # store evaluation scenario (method entries filled in)
+    eval_cfg = scene_cfg.to_dict()
+    eval_cfg["method"] = {
+        "name": model_cfg.model_type.name,
+        "params": {
+            "model_name": args.model_name,
+            "model_file": model_file,
+            "weights_file": weights_file,
+        },
+    }
+    with open(osp.join(output_dir, "scenario.yaml"), "w") as f:
+        yaml.dump(eval_cfg, f, default_flow_style=False, sort_keys=False)
+
+    label_type = model_cfg.label_type
+
+    for data_name, data_file in scene_cfg.data.items():
+        logger.info(f"Evaluate '{data_file}'")
+        df = create_input_dataflow(scene_cfg.dataset_type, data_file, shuffle=False)
+        helper.reset_state()
+
+        for i, ds in enumerate(df):
+            if (i + 1) % 10 == 0:
+                logger.info(f"Data point {i + 1}/{len(df)}")
+
+            template = ds["clouds"][0]
+            source = ds["clouds"][1]
+            stamp = ds["timestamps"][0]
+            transform_gt = ds["transform"]
+
+            t0 = time.perf_counter()
+            if scene_cfg.sequential:
+                if not helper.has_state():
+                    helper.predict(template)
+                y_pred = helper.predict(source)
+            else:
+                y_pred = helper.predict(source, template)
+            y_pred = np.asarray(y_pred)  # forces device sync
+            t_pred_ms = (time.perf_counter() - t0) * 1000.0
+
+            transform_pred = label_to_matrix_np(label_type, y_pred)
+            evaluator.add_transforms(
+                str(data_name), float(np.ravel(stamp)[0]),
+                transform_pred, transform_gt, t_pred_ms,
+            )
+
+    logger.info("Store results")
+    evaluator.write(output_dir)
+
+
+if __name__ == "__main__":
+    main()

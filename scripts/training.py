@@ -1,0 +1,25 @@
+#!/usr/bin/env python3
+"""Model training (CLI parity with reference scripts/training.py)."""
+import argparse
+
+from deepclr_tpu.config import Mode, load_config
+from deepclr_tpu.engine import train
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Model training.")
+    parser.add_argument("config", type=str, help="training configuration (*.yaml)")
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="checkpoint for continuing training")
+    args = parser.parse_args()
+
+    mode = Mode.NEW if args.ckpt is None else Mode.CONTINUE
+    cfg = load_config(args.config, mode, ckpt_filename=args.ckpt)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except KeyboardInterrupt:
+        print("Interrupted by user")

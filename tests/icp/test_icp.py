@@ -1,0 +1,55 @@
+"""ICP baselines: recover a known rigid transform on synthetic clouds
+(extends the reference tests/icp/test_icp.py smoke test with accuracy
+assertions)."""
+import numpy as np
+import pytest
+
+from deepclr_tpu.icp import ICPAlgorithm, ICPRegistration
+
+
+def _make_cloud(n=512, seed=0):
+    rng = np.random.default_rng(seed)
+    # structured surface-ish cloud (plane + curvature) so normals make sense
+    xy = rng.uniform(-5, 5, size=(n, 2))
+    z = 0.3 * np.sin(xy[:, 0]) + 0.2 * np.cos(1.3 * xy[:, 1])
+    return np.column_stack([xy, z]).astype(np.float32)
+
+
+def _transform(yaw_deg=2.0, t=(0.1, -0.05, 0.02)):
+    yaw = np.deg2rad(yaw_deg)
+    m = np.eye(4)
+    c, s = np.cos(yaw), np.sin(yaw)
+    m[:2, :2] = [[c, -s], [s, c]]
+    m[:3, 3] = t
+    return m
+
+
+@pytest.mark.parametrize("algorithm", list(ICPAlgorithm))
+def test_icp_returns_se3(algorithm):
+    cloud = _make_cloud(128, seed=1)
+    reg = ICPRegistration(algorithm, max_distance=5.0, max_iterations=10)
+    template = reg.prepare(cloud)
+    source = reg.prepare(cloud + 0.02)
+    m = reg.register(template, source)
+    assert m.shape == (4, 4)
+    rtr = m[:3, :3] @ m[:3, :3].T
+    np.testing.assert_allclose(rtr, np.eye(3), atol=1e-4)
+    np.testing.assert_allclose(m[3], [0, 0, 0, 1], atol=1e-6)
+
+
+@pytest.mark.parametrize("algorithm", list(ICPAlgorithm))
+def test_icp_recovers_transform(algorithm):
+    cloud = _make_cloud(768, seed=2)
+    gt = _transform()
+    # source = gt applied to template; register(source->template) returns
+    # inv(gt) ... align source onto template
+    source_cloud = cloud @ gt[:3, :3].T + gt[:3, 3]
+
+    reg = ICPRegistration(algorithm, max_distance=2.0, max_iterations=30)
+    template = reg.prepare(cloud)
+    source = reg.prepare(source_cloud)
+    m = reg.register(template, source)
+
+    aligned = source_cloud @ m[:3, :3].T + m[:3, 3]
+    err = np.linalg.norm(aligned - cloud, axis=1).mean()
+    assert err < 0.05, f"{algorithm}: mean alignment error {err}"

@@ -1,0 +1,151 @@
+"""Fused SA path: equivalence with the exact (index-based) path, the Pallas
+kernel (interpret mode), and gradient flow."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepclr_tpu.models.pointnet2 import SetAbstractionMSG
+from deepclr_tpu.ops.fused_sa import (
+    ball_mlp_max_xla,
+    multi_scale_bundle,
+)
+from deepclr_tpu.ops.pallas.fused_sa_kernel import ball_mlp_max_pallas
+
+B, N, P = 2, 256, 32
+
+
+def _data(seed=0, feat_dim=1):
+    rng = np.random.default_rng(seed)
+    xyz = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    feat = jnp.asarray(rng.normal(size=(B, N, feat_dim)).astype(np.float32))
+    mask = np.ones((B, N), bool)
+    mask[0, 200:] = False
+    return xyz, feat, jnp.asarray(mask)
+
+
+def _params(seed=1, in_dim=4, mlp=(8, 8, 16), scales=2):
+    rng = np.random.default_rng(seed)
+    sw, sb = [], []
+    for _ in range(scales):
+        dims = [in_dim, *mlp]
+        ws = [jnp.asarray(rng.normal(size=(dims[i], dims[i + 1])).astype(np.float32) * 0.3)
+              for i in range(len(mlp))]
+        bs = [jnp.asarray(rng.normal(size=(dims[i + 1],)).astype(np.float32) * 0.1)
+              for i in range(len(mlp))]
+        sw.append(ws)
+        sb.append(bs)
+    return sw, sb
+
+
+def test_fused_equals_exact_when_nsample_covers_all():
+    """With nsample >= all possible hits, the reference truncation is a no-op
+    and both SetAbstraction paths must agree."""
+    xyz, feat, mask = _data()
+    module_args = dict(
+        npoint=P, radii=(0.8, 1.5), nsamples=(N, N),
+        mlps=((8, 8, 16), (8, 8, 16)),
+    )
+    m_fused = SetAbstractionMSG(fused=True, **module_args)
+    m_exact = SetAbstractionMSG(fused=False, **module_args)
+    variables = m_fused.init(jax.random.PRNGKey(0), xyz, feat, mask)
+
+    xyz_f, feat_f = m_fused.apply(variables, xyz, feat, mask)
+    xyz_e, feat_e = m_exact.apply(variables, xyz, feat, mask)
+    np.testing.assert_allclose(np.asarray(xyz_f), np.asarray(xyz_e), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(feat_f), np.asarray(feat_e), atol=1e-4)
+
+
+def test_multi_scale_bundle_equals_per_scale():
+    xyz, feat, mask = _data(seed=2)
+    centers = xyz[:, :P, :]
+    sw, sb = _params()
+    radii = (0.8, 1.5)
+
+    per_scale = [
+        np.asarray(ball_mlp_max_xla(
+            xyz, centers, tuple(sw[i]), tuple(sb[i]), radii[i],
+            features=feat, mask=mask, compute_dtype=jnp.float32,
+        ))
+        for i in range(2)
+    ]
+    weights, biases, radius_cols = multi_scale_bundle(sw, sb, radii)
+    bundled = np.asarray(ball_mlp_max_xla(
+        xyz, centers, tuple(weights), tuple(biases), radius_cols,
+        features=feat, mask=mask, compute_dtype=jnp.float32,
+    ))
+    np.testing.assert_allclose(
+        bundled, np.concatenate(per_scale, axis=-1), atol=1e-4
+    )
+
+
+def test_pallas_kernel_matches_xla_interpret():
+    xyz, feat, mask = _data(seed=3)
+    centers = xyz[:, :P, :]
+    sw, sb = _params(seed=4)
+    weights, biases, radius_cols = multi_scale_bundle(sw, sb, (0.8, 1.5))
+
+    ref = np.asarray(ball_mlp_max_xla(
+        xyz, centers, tuple(weights), tuple(biases), radius_cols,
+        features=feat, mask=mask, compute_dtype=jnp.float32,
+    ))
+    got = np.asarray(ball_mlp_max_pallas(
+        xyz, centers, tuple(weights), tuple(biases), radius_cols,
+        features=feat, mask=mask, compute_dtype=jnp.float32,
+        interpret=True,
+    ))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_fused_gradients_flow():
+    xyz, feat, mask = _data(seed=5)
+    centers = xyz[:, :P, :]
+    sw, sb = _params(seed=6, scales=1)
+
+    def loss(ws, bs, feat):
+        out = ball_mlp_max_xla(
+            xyz, centers, tuple(ws), tuple(bs), 1.0,
+            features=feat, mask=mask, compute_dtype=jnp.float32,
+        )
+        return jnp.sum(out ** 2)
+
+    grads_w, grads_b, grads_f = jax.grad(loss, argnums=(0, 1, 2))(
+        sw[0], sb[0], feat
+    )
+    for g in [*grads_w, *grads_b, grads_f]:
+        assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.sum(jnp.abs(grads_f))) > 0
+
+    # custom_vjp wrapper (pallas-forward path on TPU, XLA here)
+    from deepclr_tpu.ops.fused_sa import ball_mlp_max
+
+    def loss2(ws, bs, feat):
+        out = ball_mlp_max(
+            xyz, centers, tuple(ws), tuple(bs), 1.0,
+            features=feat, mask=mask, compute_dtype=jnp.float32,
+        )
+        return jnp.sum(out ** 2)
+
+    g2 = jax.grad(loss2, argnums=2)(sw[0], sb[0], feat)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(grads_f), atol=1e-4)
+
+
+def test_padding_points_never_contribute():
+    xyz, feat, mask = _data(seed=7)
+    sw, sb = _params(seed=8, scales=1)
+    centers = xyz[:, :P, :]
+
+    out1 = np.asarray(ball_mlp_max_xla(
+        xyz, centers, tuple(sw[0]), tuple(sb[0]), 1.0,
+        features=feat, mask=mask, compute_dtype=jnp.float32,
+    ))
+    # corrupt masked-out points: result must not change
+    xyz2 = np.asarray(xyz).copy()
+    xyz2[0, 200:] = 0.123  # same region masked out
+    feat2 = np.asarray(feat).copy()
+    feat2[0, 200:] = 99.0
+    out2 = np.asarray(ball_mlp_max_xla(
+        jnp.asarray(xyz2), centers, tuple(sw[0]), tuple(sb[0]), 1.0,
+        features=jnp.asarray(feat2), mask=mask, compute_dtype=jnp.float32,
+    ))
+    np.testing.assert_allclose(out1, out2, atol=1e-6)
