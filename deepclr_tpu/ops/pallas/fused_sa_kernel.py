@@ -13,14 +13,19 @@ Lane packing: the shared MLP is narrow (H1 = 16..32 per scale bundle), which
 would waste the 128-wide MXU/VPU lanes.  G = 128 // H1 point groups are
 packed side by side on the lane axis: layer-1 terms are reshaped host-side to
 (N/G, G*H1), the MLP tail weights become G-fold block-diagonal 128-wide
-matmuls (full MXU K utilization), and the radius/validity mask is expanded to
-packed columns with a tiny (., G) @ (G, G*H3) one-hot matmul.  The final
-reduction over the G groups happens outside the kernel (one cheap XLA max).
+matmuls (full MXU K utilization), and the final reduction over the G groups
+happens outside the kernel (one cheap XLA max).
+
+Distance + masking are a single MXU expansion matmul: packed coordinate
+differences squared [dx2 | invalidity] (CN, 3G+G lanes) x a 0/1/BIG matrix ->
+penalized squared distance per packed output column, so the only full-width
+VPU work per pair is compare/select/max.
 
 Mosaic layout rules honored: pairwise (TP, CN, ·) tensors are built only by
 broadcasting *existing* unit dims (per-center inputs ship as (B, P, 1, ·)),
-lane-axis concats/slices, reshapes that merge/split leading dims, and MXU
-dot_generals.
+reshapes merge/split leading dims only, and the inner sub-chunk loop is
+unrolled with static slice starts (a fori_loop with dynamic pl.ds starts
+sends the Mosaic compiler into a pathological multi-hour path).
 """
 from __future__ import annotations
 
@@ -35,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["ball_mlp_max_pallas", "pallas_available"]
 
 _NEG = -1e30  # python float: jnp scalars would be captured consts in kernels
+_BIG = 1e12   # penalty added to d2 of invalid points
 
 
 def pallas_available() -> bool:
@@ -54,7 +60,7 @@ def _block_diag(mats):
 
 
 def _make_kernel(n_tail: int, groups: int, inner: int, compute_dtype):
-    def kernel(xyz_ref, a_ref, m_ref, cts_ref, bc_ref, r2_ref, e_ref,
+    def kernel(geo_ref, a_ref, cts_ref, bc_ref, r2_ref, e2_ref,
                *tail_and_out):
         out_ref = tail_and_out[-1]
         tail = tail_and_out[:-1]
@@ -70,33 +76,23 @@ def _make_kernel(n_tail: int, groups: int, inner: int, compute_dtype):
             out_ref[0] = jnp.full((tp, gh3), _NEG, jnp.float32)
 
         bc = bc_ref[0]                # (TP, 1, G*H1) f32
-        cts = cts_ref[0]              # (TP, 1, 3)
-        e = e_ref[:, :]               # (G, G*H3) f32
+        cts = cts_ref[0]              # (TP, 1, G*3 + G) tiled centers ‖ 0
+        e2 = e2_ref[:, :]             # (G*3 + G, G*H3) expansion matrix
         r2 = r2_ref[:, :, :]          # (1, 1, G*H3)
 
-        def body(ii, carry):
-            s = ii * inner
-            a_c = a_ref[0, pl.ds(s, inner), :][None]   # (1, CNI, G*H1)
-            m_c = m_ref[0, pl.ds(s, inner), :]         # (CNI, G)
+        def body(s, carry):
+            geo_c = geo_ref[0, pl.ds(s, inner), :][None]  # (1, CNI, 4G)
+            a_c = a_ref[0, pl.ds(s, inner), :][None]      # (1, CNI, G*H1)
 
-            # distances per packed group (lane concat), layout (TP, CNI, G)
-            d2_groups = []
-            for g in range(groups):
-                d2 = None
-                for k in range(3):
-                    xk = xyz_ref[0, pl.ds(s, inner),
-                                 3 * g + k:3 * g + k + 1][None]  # (1,CNI,1)
-                    ck = cts[:, :, k:k + 1]                      # (TP,1,1)
-                    dx = xk - ck
-                    d2 = dx * dx if d2 is None else d2 + dx * dx
-                d2_groups.append(d2)
-            d2 = jnp.concatenate(d2_groups, axis=2)  # (TP, CNI, G)
-
-            # expand (group) -> (packed output columns), one-hot matmul
-            d2_flat = d2.reshape(tp * inner, groups)
-            d2_cols = jnp.dot(d2_flat, e, preferred_element_type=jnp.float32)
-            d2_cols = d2_cols.reshape(tp, inner, gh3)
-            m_cols = jnp.dot(m_c, e, preferred_element_type=jnp.float32)[None]
+            # packed coordinate diffs: [x - c | (1-m)] for all G groups;
+            # squaring leaves the invalidity indicator intact (0/1)
+            dx = geo_c - cts                               # (TP, CNI, 4G)
+            dx2 = dx * dx
+            # penalized squared distances per packed output column (MXU)
+            d2_cols = jnp.dot(
+                dx2.reshape(tp * inner, -1), e2,
+                preferred_element_type=jnp.float32,
+            ).reshape(tp, inner, gh3)
 
             # layer 1 (f32 add for fidelity) then block-diagonal MXU tail
             pre = jnp.maximum(a_c + bc, 0.0)  # (TP, CNI, G*H1)
@@ -111,12 +107,14 @@ def _make_kernel(n_tail: int, groups: int, inner: int, compute_dtype):
                     h = h.astype(compute_dtype)
             h = h.reshape(tp, inner, gh3)
 
-            hit = (d2_cols < r2) & (m_cols > 0.5)
-            h = jnp.where(hit, h, _NEG)
+            h = jnp.where(d2_cols < r2, h, _NEG)
             return jnp.maximum(carry, jnp.max(h, axis=1))
 
-        init = out_ref[0]
-        out_ref[0] = jax.lax.fori_loop(0, num_inner, body, init)
+        # unrolled sub-chunk loop with static slice starts
+        acc = out_ref[0]
+        for ii in range(num_inner):
+            acc = body(ii * inner, acc)
+        out_ref[0] = acc
 
     return kernel
 
@@ -139,7 +137,6 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
     groups = max(1, 128 // h1)
     while n % groups != 0 and groups > 1:
         groups //= 2
-    cn = chunk  # packed rows per grid step (covers groups*chunk points)
 
     w1x = w1[:3].astype(jnp.float32)
     a = jnp.dot(xyz, w1x, preferred_element_type=jnp.float32)
@@ -152,9 +149,9 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
     bc = -jnp.dot(centers, w1x, preferred_element_type=jnp.float32)  # (B,P,H1)
 
     if mask is None:
-        m = jnp.ones((b, n), jnp.float32)
+        inval = jnp.zeros((b, n, 1), jnp.float32)
     else:
-        m = mask.astype(jnp.float32)
+        inval = 1.0 - mask.astype(jnp.float32)[..., None]
 
     if isinstance(radius, tuple):
         r2_base = jnp.asarray(radius, jnp.float32) ** 2
@@ -165,39 +162,46 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
     # --- pack G point groups onto lanes ---------------------------------
     np_rows = n // groups
     a_p = a.reshape(b, np_rows, groups * h1)
-    xyz_p = xyz.reshape(b, np_rows, groups * 3)
-    m_p = m.reshape(b, np_rows, groups)
+    # geometry block: per group [x, y, z, invalid]  -> (B, N/G, 4G)
+    geo = jnp.concatenate([xyz, inval], axis=-1).reshape(b, np_rows, groups * 4)
     bc_t = jnp.tile(bc, (1, 1, groups))[:, :, None, :]  # (B,P,1,G*H1)
-    cts4 = centers[:, :, None, :]                       # (B,P,1,3)
+    # tiled centers matching the geo layout: [cx, cy, cz, 0] per group
+    cts_pad = jnp.concatenate(
+        [centers, jnp.zeros((b, p, 1), jnp.float32)], axis=-1
+    )
+    cts_t = jnp.tile(cts_pad, (1, 1, groups))[:, :, None, :]  # (B,P,1,4G)
     r2_p = jnp.tile(r2_base, (groups,))[None, None, :]  # (1,1,G*H3)
 
-    # group -> packed-column one-hot expansion matrix (G, G*H3)
-    e = np.zeros((groups, groups * h3), np.float32)
+    # expansion matrix: squared coord diffs summed per group + BIG * invalid
+    # (the invalid indicator survives squaring: (0-1)^2 = 1)
+    e2 = np.zeros((groups * 4, groups * h3), np.float32)
     for g in range(groups):
-        e[g, g * h3:(g + 1) * h3] = 1.0
-    e = jnp.asarray(e)
+        for k in range(3):
+            e2[g * 4 + k, g * h3:(g + 1) * h3] = 1.0
+        e2[g * 4 + 3, g * h3:(g + 1) * h3] = _BIG
+    e2 = jnp.asarray(e2)
 
     tail_w = [
         _block_diag([w] * groups).astype(compute_dtype) for w in weights[1:]
     ]
     tail_b = [jnp.tile(bb, (groups,))[None, :] for bb in biases[1:]]
 
-    grid = (b, p // center_tile, np_rows // cn)
+    grid = (b, p // center_tile, np_rows // chunk)
 
     def vm(block, index_map):
         return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
 
     in_specs = [
-        vm((1, cn, groups * 3), lambda bi, pi, ni: (bi, ni, 0)),   # xyz_p
-        vm((1, cn, groups * h1), lambda bi, pi, ni: (bi, ni, 0)),  # a_p
-        vm((1, cn, groups), lambda bi, pi, ni: (bi, ni, 0)),       # m_p
-        vm((1, center_tile, 1, 3), lambda bi, pi, ni: (bi, pi, 0, 0)),
+        vm((1, chunk, groups * 4), lambda bi, pi, ni: (bi, ni, 0)),    # geo
+        vm((1, chunk, groups * h1), lambda bi, pi, ni: (bi, ni, 0)),   # a_p
+        vm((1, center_tile, 1, groups * 4),
+           lambda bi, pi, ni: (bi, pi, 0, 0)),                          # cts_t
         vm((1, center_tile, 1, groups * h1),
-           lambda bi, pi, ni: (bi, pi, 0, 0)),
-        pl.BlockSpec(memory_space=pltpu.VMEM),                     # r2_p
-        pl.BlockSpec(memory_space=pltpu.VMEM),                     # e
+           lambda bi, pi, ni: (bi, pi, 0, 0)),                          # bc_t
+        pl.BlockSpec(memory_space=pltpu.VMEM),                          # r2_p
+        pl.BlockSpec(memory_space=pltpu.VMEM),                          # e2
     ]
-    args = [xyz_p, a_p, m_p, cts4, bc_t, r2_p, e]
+    args = [geo, a_p, cts_t, bc_t, r2_p, e2]
     for w, bb in zip(tail_w, tail_b):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
@@ -224,8 +228,8 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
 
 
 def ball_mlp_max_pallas(xyz, centers, weights, biases, radius,
-                        features=None, mask=None, center_tile: int = 16,
-                        chunk: int = 1024, inner: int = 64,
+                        features=None, mask=None, center_tile: int = 32,
+                        chunk: int = 1024, inner: int = 128,
                         compute_dtype=jnp.bfloat16, interpret: bool = False):
     """Pallas TPU implementation of ops.fused_sa.ball_mlp_max.
 

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Regenerate the ModelNet40 unseen-shapes table (noise 0.04) from inference
+output (reference scripts/paper/modelnet40_table.py)."""
+import argparse
+import os
+import os.path as osp
+import warnings
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from deepclr_tpu.config import Config
+from deepclr_tpu.evaluation import Evaluator, load_scenario
+
+SCENARIO_NAME = "modelnet40_unseen"
+DATASET_NAME = "test_unseen_0.04"
+
+
+def load_scenario_from_dir(directory: str) -> Optional[Config]:
+    scenario_file = osp.join(directory, "scenario.yaml")
+    if not osp.isfile(scenario_file):
+        return None
+    try:
+        return load_scenario(scenario_file, with_method=True)
+    except RuntimeError:
+        warnings.warn(f"Scenario invalid: '{scenario_file}'")
+        return None
+
+
+def evaluate(path: str, scenario: Config) -> Optional[Dict]:
+    filenames = [f"{k}.txt" for k in scenario.data.keys()]
+    evaluator = Evaluator.read(path, filenames)
+    step_errors = evaluator.get_step_errors()
+    if DATASET_NAME not in step_errors:
+        warnings.warn("Dataset not found in scenario.")
+        return None
+    metrics = step_errors[DATASET_NAME]
+    return {
+        "Rot. Error Mean [deg]": np.rad2deg(metrics.mean.rotation.chordal),
+        "Rot. Error Std [deg]": np.rad2deg(metrics.std.rotation.chordal),
+        "Tran. Error Mean [m]": metrics.mean.translation.kitti,
+        "Tran. Error Std [m]": metrics.std.translation.kitti,
+        "Time [ms]": metrics.mean.time,
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Print table for ModelNet40 evaluation."
+    )
+    parser.add_argument("path", type=str, help="base directory of inference output")
+    args = parser.parse_args()
+
+    data = {}
+    for dirname in sorted(os.listdir(args.path)):
+        directory = osp.join(args.path, dirname)
+        if not osp.isdir(directory):
+            continue
+        scenario = load_scenario_from_dir(directory)
+        if scenario is not None and scenario.name == SCENARIO_NAME:
+            scenario_data = evaluate(directory, scenario)
+            if scenario_data is not None:
+                data[scenario.method.name] = scenario_data
+
+    if not data:
+        warnings.warn("Could not find scenario.")
+    else:
+        print(f"== DeepCLR Results on Unseen ModelNet40 Data ({DATASET_NAME}) ==")
+        print(pd.DataFrame(data).transpose())
+
+
+if __name__ == "__main__":
+    main()
