@@ -35,15 +35,16 @@ def main():
     template = _clouds(batch, n, 4, seed=1)
     source = _clouds(batch, n, 4, seed=2)
 
-    # warmup / compile
-    forward(variables, template, source).block_until_ready()
-    forward(variables, template, source).block_until_ready()
+    # warmup / compile (np.asarray forces a real device sync — on relayed
+    # TPU backends block_until_ready returns before execution finishes)
+    np.asarray(forward(variables, template, source))
+    np.asarray(forward(variables, template, source))
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out = forward(variables, template, source)
-    out.block_until_ready()
+    np.asarray(out)
     dt = time.perf_counter() - t0
 
     pairs_per_sec = batch * iters / dt

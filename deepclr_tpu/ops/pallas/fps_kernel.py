@@ -52,22 +52,24 @@ def _make_kernel(npoint: int, rows: int, cols: int):
 
         # first pick: lowest-index valid point
         first = jnp.min(jnp.where(valid, flat_idx, big))
-        out_ref[0, pl.ds(0, 1)] = first.reshape(1)
+        out_ref[0, 0, 0] = first
 
         dists_ref[:, :] = jnp.where(valid, 1e10, -1.0)
 
         def body(i, last):
-            r = last // cols
-            c = last % cols
+            # coordinates of the last pick via select-reduce (dynamic lane
+            # indexing is not supported by Mosaic)
+            sel = flat_idx == last
             d2 = None
             for k in range(3):
-                ck = xyz_ref[0, k, pl.ds(r, 1), pl.ds(c, 1)]  # (1, 1)
-                dx = xyz_ref[0, k] - ck
+                plane = xyz_ref[0, k]
+                ck = jnp.sum(jnp.where(sel, plane, 0.0))
+                dx = plane - ck
                 d2 = dx * dx if d2 is None else d2 + dx * dx
             dists = jnp.minimum(dists_ref[:, :], jnp.where(valid, d2, -1.0))
             dists_ref[:, :] = dists
             nxt = argmax2d(dists)
-            out_ref[0, pl.ds(i, 1)] = nxt.reshape(1)
+            out_ref[0, 0, i] = nxt
             return nxt
 
         jax.lax.fori_loop(1, npoint, body, first)
@@ -91,7 +93,7 @@ def furthest_point_sample_pallas(xyz, npoint: int, mask=None):
     kernel = _make_kernel(npoint, _ROWS, cols)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, npoint), jnp.int32),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, 3, _ROWS, cols), lambda bi: (bi, 0, 0, 0),
@@ -99,8 +101,10 @@ def furthest_point_sample_pallas(xyz, npoint: int, mask=None):
             pl.BlockSpec((1, _ROWS, cols), lambda bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, npoint), lambda bi: (bi, 0),
-                               memory_space=pltpu.VMEM),
+        # SMEM output: the per-iteration index store needs dynamic scalar
+        # indexing, which VMEM lane stores do not support
+        out_specs=pl.BlockSpec((1, 1, npoint), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.SMEM),
         scratch_shapes=[pltpu.VMEM((_ROWS, cols), jnp.float32)],
     )(planes, m)
-    return out
+    return out[:, 0, :]
