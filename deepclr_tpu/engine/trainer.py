@@ -360,13 +360,18 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
         if checkpointer is None:
             return
         host_state = jax.device_get(state)
+        # weights artifact = a flax variables dict, loadable by
+        # models.load_weights for inference
+        variables_out = {"params": host_state.params}
+        if host_state.batch_stats:
+            variables_out["batch_stats"] = host_state.batch_stats
         if special is not None:
             checkpointer.save_special_checkpoint(
-                special, epoch, iteration, host_state, host_state.params
+                special, epoch, iteration, host_state, variables_out
             )
         else:
             checkpointer.save_checkpoint(
-                epoch, iteration, host_state, host_state.params
+                epoch, iteration, host_state, variables_out
             )
 
     epoch = start_epoch

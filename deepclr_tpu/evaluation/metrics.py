@@ -188,6 +188,16 @@ class MetricsContainer:
     def __init__(self, data: Seq[_Metrics]):
         self.data = list(data)
 
+        if not self.data:
+            # empty container (e.g. trajectory shorter than every KITTI
+            # segment length): all statistics are NaN
+            nan_t = TranslationError(np.nan, np.nan, np.full(3, np.nan))
+            nan_r = RotationError(np.nan, np.nan, np.nan, np.full(3, np.nan))
+            for stat in ("min", "max", "mean", "median", "std"):
+                setattr(self, stat,
+                        TransformationMetrics(nan_t, nan_r, np.nan))
+            return
+
         trans = {m: np.array([getattr(x.translation, m) for x in self.data])
                  for m in TranslationError.metrics()}
         rot = {m: np.array([getattr(x.rotation, m) for x in self.data])
