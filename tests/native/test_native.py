@@ -1,0 +1,84 @@
+"""Native C++ components: pack reader equivalence + KITTI devkit evaluator."""
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from deepclr_tpu.data.pack import PackWriter
+from deepclr_tpu.native import build_library, kitti_devkit_eval
+from deepclr_tpu.native.pack_reader import NativePackReader
+
+
+def test_native_pack_reader_matches_python(tmp_path):
+    path = str(tmp_path / "t.pack")
+    rng = np.random.default_rng(0)
+    records = {
+        f"{i:08d}": {
+            "idx": i,
+            "cloud": rng.normal(size=(50 + i, 4)).astype(np.float32),
+            "pose": np.eye(4),
+            "name": f"rec{i}",
+        }
+        for i in range(5)
+    }
+    with PackWriter(path) as w:
+        for k, v in records.items():
+            w.put(k, v)
+
+    with NativePackReader(path) as r:
+        assert len(r) == 5
+        assert r.keys == sorted(records)
+        for k, v in records.items():
+            got = r[k]
+            assert got["idx"] == v["idx"]
+            assert got["name"] == v["name"]
+            np.testing.assert_array_equal(got["cloud"], v["cloud"])
+        with pytest.raises(KeyError):
+            r["missing"]
+
+
+def _write_poses(path, poses):
+    rows = [np.asarray(p)[:3, :].reshape(12) for p in poses]
+    np.savetxt(path, np.asarray(rows))
+
+
+def test_kitti_devkit_eval(tmp_path):
+    gt_dir = tmp_path / "gt"
+    pred_dir = tmp_path / "pred"
+    gt_dir.mkdir()
+    pred_dir.mkdir()
+
+    # straight 1 m/frame drive, 150 frames; prediction has 2% scale drift
+    gt, pred = [], []
+    for i in range(150):
+        g = np.eye(4)
+        g[0, 3] = i * 1.0
+        p = np.eye(4)
+        p[0, 3] = i * 1.02
+        gt.append(g)
+        pred.append(p)
+    _write_poses(gt_dir / "04.txt", gt)
+    _write_poses(pred_dir / "04.txt", pred)
+
+    n = kitti_devkit_eval(str(gt_dir), str(pred_dir))
+    assert n == 1
+
+    result = pred_dir / "result"
+    assert (result / "errors_04.txt").exists()
+    stats = (result / "stats.txt").read_text()
+    assert "04" in stats and "TOTAL" in stats
+
+    # ~2% translation error, ~0 rotation error
+    for line in stats.splitlines():
+        if line.startswith("04"):
+            parts = line.split()
+            t_err = float(parts[2])
+            r_err = float(parts[4])
+            assert t_err == pytest.approx(2.0, rel=0.05)
+            assert r_err == pytest.approx(0.0, abs=1e-9)
+
+
+def test_standalone_binaries_build():
+    build_library("kitti_devkit")
+    build_library("pack_reader")
+    assert osp.exists(build_library("kitti_devkit"))
