@@ -25,8 +25,12 @@ import jax.numpy as jnp
 
 from .. import ops
 from ..ops.fused_sa import ball_mlp_max, multi_scale_bundle
+from ..ops.morton import spatial_sort
 
 __all__ = ["SetAbstractionMSG"]
+
+# below this cloud size, Morton sorting costs more than culling saves
+_SORT_MIN_POINTS = 4096
 
 
 class SetAbstractionMSG(nn.Module):
@@ -47,6 +51,7 @@ class SetAbstractionMSG(nn.Module):
     batch_norm: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     fused: bool = True
+    spatial_sort: bool = True
 
     @nn.compact
     def __call__(self, xyz, features=None, mask=None, *,
@@ -81,8 +86,21 @@ class SetAbstractionMSG(nn.Module):
             scale_weights.append(ws)
             scale_biases.append(bs)
 
+        do_sort = (
+            self.fused and self.spatial_sort
+            and xyz.shape[1] >= _SORT_MIN_POINTS
+        )
+        if do_sort:
+            # Morton-sort so the Pallas kernel's AABB block culling bites;
+            # set semantics (radius membership + max-pool) are order-invariant
+            xyz, features, mask, _ = spatial_sort(xyz, features, mask)
+
         fps_idx = ops.furthest_point_sample(xyz, self.npoint, mask=mask)
         new_xyz = ops.gather_points(xyz, fps_idx)  # (B, P, 3)
+
+        if do_sort:
+            # sort the centers too: spatially tight center tiles cull better
+            new_xyz, _, _, _ = spatial_sort(new_xyz)
 
         if self.fused:
             weights, biases, radius_cols = multi_scale_bundle(

@@ -59,8 +59,9 @@ def _block_diag(mats):
     return out
 
 
-def _make_kernel(n_tail: int, groups: int, inner: int, compute_dtype):
-    def kernel(geo_ref, a_ref, cts_ref, bc_ref, r2_ref, e2_ref,
+def _make_kernel(n_tail: int, groups: int, inner: int, compute_dtype,
+                 r2_max: float):
+    def kernel(geo_ref, a_ref, aabb_ref, cts_ref, bc_ref, r2_ref, e2_ref,
                *tail_and_out):
         out_ref = tail_and_out[-1]
         tail = tail_and_out[:-1]
@@ -80,7 +81,12 @@ def _make_kernel(n_tail: int, groups: int, inner: int, compute_dtype):
         e2 = e2_ref[:, :]             # (G*3 + G, G*H3) expansion matrix
         r2 = r2_ref[:, :, :]          # (1, 1, G*H3)
 
-        def body(s, carry):
+        # center-tile AABB (coords identical across groups; use group 0)
+        c_lo = [jnp.min(cts[:, :, k]) for k in range(3)]
+        c_hi = [jnp.max(cts[:, :, k]) for k in range(3)]
+
+        def body(ii):
+            s = ii * inner
             geo_c = geo_ref[0, pl.ds(s, inner), :][None]  # (1, CNI, 4G)
             a_c = a_ref[0, pl.ds(s, inner), :][None]      # (1, CNI, G*H1)
 
@@ -108,13 +114,25 @@ def _make_kernel(n_tail: int, groups: int, inner: int, compute_dtype):
             h = h.reshape(tp, inner, gh3)
 
             h = jnp.where(d2_cols < r2, h, _NEG)
-            return jnp.maximum(carry, jnp.max(h, axis=1))
+            out_ref[0] = jnp.maximum(out_ref[0], jnp.max(h, axis=1))
 
-        # unrolled sub-chunk loop with static slice starts
-        acc = out_ref[0]
+        # unrolled sub-chunk loop with static slice starts; each sub-chunk
+        # is skipped entirely when its AABB is farther than the max radius
+        # from the center tile's AABB (points are Morton-sorted, so chunks
+        # are spatially tight)
         for ii in range(num_inner):
-            acc = body(ii * inner, acc)
-        out_ref[0] = acc
+            d2_lb = jnp.float32(0.0)
+            for k in range(3):
+                p_lo = aabb_ref[0, ii, k]
+                p_hi = aabb_ref[0, ii, 3 + k]
+                gap = jnp.maximum(
+                    jnp.maximum(p_lo - c_hi[k], c_lo[k] - p_hi), 0.0
+                )
+                d2_lb = d2_lb + gap * gap
+
+            @pl.when(d2_lb < r2_max)
+            def _(ii=ii):
+                body(ii)
 
     return kernel
 
@@ -156,14 +174,26 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
     if isinstance(radius, tuple):
         r2_base = jnp.asarray(radius, jnp.float32) ** 2
         assert r2_base.shape[0] == h3
+        r2_max = max(float(r) for r in radius) ** 2
     else:
         r2_base = jnp.full((h3,), float(radius) ** 2, jnp.float32)
+        r2_max = float(radius) ** 2
 
     # --- pack G point groups onto lanes ---------------------------------
     np_rows = n // groups
     a_p = a.reshape(b, np_rows, groups * h1)
     # geometry block: per group [x, y, z, invalid]  -> (B, N/G, 4G)
     geo = jnp.concatenate([xyz, inval], axis=-1).reshape(b, np_rows, groups * 4)
+
+    # per-sub-chunk AABBs over *valid* points (rows [s, s+inner) cover
+    # points [s*G, (s+inner)*G)); all-invalid chunks get an empty box that
+    # always culls
+    n_sub = np_rows // inner
+    pts_sub = xyz.reshape(b, n_sub, inner * groups, 3)
+    valid_sub = (inval < 0.5).reshape(b, n_sub, inner * groups, 1)
+    lo = jnp.min(jnp.where(valid_sub, pts_sub, jnp.inf), axis=2)
+    hi = jnp.max(jnp.where(valid_sub, pts_sub, -jnp.inf), axis=2)
+    aabb = jnp.concatenate([lo, hi], axis=-1)  # (B, n_sub, 6)
     bc_t = jnp.tile(bc, (1, 1, groups))[:, :, None, :]  # (B,P,1,G*H1)
     # tiled centers matching the geo layout: [cx, cy, cz, 0] per group
     cts_pad = jnp.concatenate(
@@ -191,9 +221,12 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
     def vm(block, index_map):
         return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
 
+    per_block = chunk // inner
     in_specs = [
         vm((1, chunk, groups * 4), lambda bi, pi, ni: (bi, ni, 0)),    # geo
         vm((1, chunk, groups * h1), lambda bi, pi, ni: (bi, ni, 0)),   # a_p
+        pl.BlockSpec((1, per_block, 6), lambda bi, pi, ni: (bi, ni, 0),
+                     memory_space=pltpu.SMEM),                          # aabb
         vm((1, center_tile, 1, groups * 4),
            lambda bi, pi, ni: (bi, pi, 0, 0)),                          # cts_t
         vm((1, center_tile, 1, groups * h1),
@@ -201,14 +234,14 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
         pl.BlockSpec(memory_space=pltpu.VMEM),                          # r2_p
         pl.BlockSpec(memory_space=pltpu.VMEM),                          # e2
     ]
-    args = [geo, a_p, cts_t, bc_t, r2_p, e2]
+    args = [geo, a_p, aabb, cts_t, bc_t, r2_p, e2]
     for w, bb in zip(tail_w, tail_b):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(w)
         args.append(bb)
 
-    kernel = _make_kernel(n_tail, groups, inner, compute_dtype)
+    kernel = _make_kernel(n_tail, groups, inner, compute_dtype, r2_max)
 
     packed = pl.pallas_call(
         kernel,
