@@ -132,6 +132,9 @@ def _xla_impl(xyz, centers, weights, biases, features, m, radius: Radius,
     tail_w = [w.astype(compute_dtype) for w in weights[1:]]
     tail_b = [x.astype(compute_dtype) for x in biases[1:]]
 
+    # remat: without it the scan saves every chunk's (B, P, chunk, H)
+    # activations for the backward pass (tens of GB at 16k points)
+    @jax.checkpoint
     def step(carry, inp):
         a_c, xyz_c, x2_c, m_c = inp
         cross = jnp.einsum(
