@@ -12,11 +12,22 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-from __graft_entry__ import KITTI_MODEL_CFG, _clouds
+from __graft_entry__ import KITTI_MODEL_CFG
 
 BASELINE_PAIRS_PER_SEC_PER_CHIP = 250.0
+
+
+def _kitti_like_clouds(batch, n, d, seed=0):
+    """Synthetic clouds with KITTI-like spatial statistics (~120x120x8 m
+    extent) so spatial culling behaves as it does on real scans."""
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(batch, n, 3)).astype(np.float32)
+    pts *= np.array([30.0, 30.0, 2.0], np.float32)
+    extra = rng.uniform(0.0, 1.0, size=(batch, n, d - 3)).astype(np.float32)
+    return jnp.asarray(np.concatenate([pts, extra], axis=-1))
 
 
 def main():
@@ -32,8 +43,8 @@ def main():
         y_pred, _ = model.apply(variables, template, source)
         return y_pred
 
-    template = _clouds(batch, n, 4, seed=1)
-    source = _clouds(batch, n, 4, seed=2)
+    template = _kitti_like_clouds(batch, n, 4, seed=1)
+    source = _kitti_like_clouds(batch, n, 4, seed=2)
 
     # warmup / compile (np.asarray forces a real device sync — on relayed
     # TPU backends block_until_ready returns before execution finishes)
