@@ -8,9 +8,11 @@ from .build import (
     save_weights,
 )
 from .deepclr import DeepCLR
+from .feature_propagation import FeaturePropagation
 
 __all__ = [
     "DeepCLR",
+    "FeaturePropagation",
     "ModelInferenceHelper",
     "ModelType",
     "build_model",
