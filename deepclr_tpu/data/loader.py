@@ -78,12 +78,16 @@ class DataLoader:
 
     def __init__(self, cfg, is_train: bool,
                  source: Optional[Union[str, List]] = None,
-                 batch_size: Optional[int] = None):
+                 batch_size: Optional[int] = None,
+                 shard_index: int = 0, num_shards: int = 1):
         self._cfg = cfg
         self._is_train = is_train
         self._source = source
         self._batch_size = batch_size or cfg.data_loader.batch_size
         self._num_points = cfg.data_loader.num_points or DEFAULT_NUM_POINTS
+        # multi-host: each process consumes a disjoint sample slice
+        self._shard_index = shard_index
+        self._num_shards = num_shards
         self._epoch = 0
         self._len: Optional[int] = None
 
@@ -99,9 +103,14 @@ class DataLoader:
             shuffle=self._is_train, seed=seed,
         )
 
+    def _shard_count(self, n: int) -> int:
+        if self._num_shards <= 1:
+            return n
+        return (n - self._shard_index + self._num_shards - 1) // self._num_shards
+
     def __len__(self) -> int:
         if self._len is None:
-            n = len(self._dataset(seed=0))
+            n = self._shard_count(len(self._dataset(seed=0)))
             if self._is_train:
                 self._len = n // self._batch_size  # drop remainder: stable shapes
             else:
@@ -127,8 +136,16 @@ class DataLoader:
         workers = self._cfg.data_loader.num_workers if self._is_train else 0
         buffer = self._cfg.data_loader.buffer_size
 
+        def sharded():
+            if self._num_shards <= 1:
+                yield from ds
+                return
+            for i, sample in enumerate(ds):
+                if i % self._num_shards == self._shard_index:
+                    yield sample
+
         def make_iter():
-            mapped = _map_iter(iter(ds), transform, workers, buffer)
+            mapped = _map_iter(sharded(), transform, workers, buffer)
             return batcher(mapped)
 
         if buffer > 0:

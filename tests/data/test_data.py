@@ -282,3 +282,41 @@ def test_data_loader_end_to_end(tmp_path):
     val_loader = make_data_loader(cfg, is_train=False)
     val_batches = list(val_loader)
     assert sum(vb["y"].shape[0] for vb in val_batches) == 12
+
+
+def test_data_loader_multi_host_sharding(tmp_path):
+    """Per-host sample sharding: disjoint, exhaustive, stable lengths."""
+    from deepclr_tpu.config import Mode, create_default_config, finish_config
+    from deepclr_tpu.data.loader import DataLoader
+
+    _write_sequence_pack(tmp_path / "00.pack", n_frames=25)
+
+    cfg = create_default_config(Mode.TEST)
+    cfg.read_dict({
+        "base_dir": str(tmp_path),
+        "data": {"training": str(tmp_path / "00.pack"),
+                 "dataset_type": "kitti_odometry_velodyne",
+                 "sequential": True},
+        "data_loader": {"batch_size": 2, "num_points": 64},
+        "model": {"input_dim": 4, "point_dim": 3,
+                  "label_type": "pose3d_dual_quat", "model_type": "deepclr"},
+        "optimizer": {"max_iterations": 10},
+    })
+    finish_config(cfg)
+
+    stamps = []
+    for shard in range(3):
+        loader = DataLoader(cfg, is_train=False, source=cfg.data.training,
+                            shard_index=shard, num_shards=3)
+        shard_stamps = []
+        for batch in loader:
+            shard_stamps.extend(batch["t"][:, 0].tolist())
+        stamps.append(set(shard_stamps))
+        assert len(list(loader))  # re-iterable
+
+    # disjoint and exhaustive over the 24 pairs
+    assert stamps[0] | stamps[1] | stamps[2]
+    assert not (stamps[0] & stamps[1])
+    assert not (stamps[0] & stamps[2])
+    total = sum(len(s) for s in stamps)
+    assert total == 24
