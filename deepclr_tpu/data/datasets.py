@@ -17,7 +17,7 @@ Storage layouts:
 from __future__ import annotations
 
 import os.path as osp
-from typing import Iterator, List, Optional, Union
+from typing import Iterator, List, Union
 
 import numpy as np
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 import os.path as osp
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import flax.serialization
 

@@ -14,7 +14,6 @@ import math
 import os
 import os.path as osp
 import time
-from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import flax.struct

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import enum
 from functools import partial
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

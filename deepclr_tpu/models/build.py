@@ -10,7 +10,7 @@ from __future__ import annotations
 import enum
 import os
 import os.path as osp
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.serialization
 import jax

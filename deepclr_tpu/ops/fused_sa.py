@@ -32,7 +32,7 @@ Differentiation: the Pallas forward kernel pairs with an XLA-scan backward
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence, Tuple, Union
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp

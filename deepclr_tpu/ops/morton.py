@@ -9,7 +9,6 @@ order-invariant, so sorting changes nothing about the result.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 __all__ = ["morton_code", "spatial_sort"]

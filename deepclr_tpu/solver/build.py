@@ -7,8 +7,6 @@ supports per-iteration, per-epoch, and per-validation stepping uniformly.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import optax
 
 from . import optimizers

@@ -8,7 +8,7 @@ the whole optimizer stays inside the jitted train step.
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -3,8 +3,6 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Optional
-
 __all__ = ["expand_path"]
 
 _ENV_RE = re.compile(r"\$\{?(\w+)\}?")
