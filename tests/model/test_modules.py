@@ -79,3 +79,46 @@ def test_uncertainty_loss_learns_weights():
         lambda p: loss_mod.apply({"params": p}, y, y_true)
     )(variables["params"])
     assert abs(float(grads["sx"][0])) > 0  # learnable weighting
+
+
+def test_inference_helper_sequential_matches_pairwise():
+    """Sequential mode (cached features) == pairwise prediction."""
+    from deepclr_tpu.models import ModelInferenceHelper, build_model, init_params
+
+    cfg = {
+        "input_dim": 3, "point_dim": 3,
+        "label_type": "pose3d_dual_quat", "model_type": "deepclr",
+        "params": {
+            "batch_norm": False, "dropout": 1.0,
+            "cloud_features": {"name": "SetAbstraction", "params": {
+                "npoint": [32], "radii": [[0.6, 1.2]], "nsamples": [[8, 16]],
+                "mlps": [[[8, 8, 16], [8, 8, 16]]]}},
+            "merge": {"name": "MotionEmbedding",
+                      "params": {"k": 4, "radius": 10.0, "mlp": [16, 32]}},
+            "output": {"name": "OutputSimple",
+                       "params": {"mlp": [32, 64], "linear": [64, 32]}},
+        },
+    }
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), num_points=128)
+
+    rng = np.random.default_rng(0)
+    frames = [rng.normal(size=(128, 3)).astype(np.float32) * 3 for _ in range(3)]
+
+    seq = ModelInferenceHelper(model, variables, is_sequential=True,
+                               num_points=128)
+    assert seq.predict(frames[0]) is None  # first frame only seeds the state
+    assert seq.has_state()
+    y01 = seq.predict(frames[1])
+    y12 = seq.predict(frames[2])
+
+    pair = ModelInferenceHelper(model, variables, is_sequential=False,
+                                num_points=128)
+    np.testing.assert_allclose(
+        y01, pair.predict(frames[1], frames[0]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        y12, pair.predict(frames[2], frames[1]), atol=1e-5
+    )
+    seq.reset_state()
+    assert not seq.has_state()
