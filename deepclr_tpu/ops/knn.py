@@ -45,5 +45,12 @@ def knn_xla(query, points, k: int, points_mask=None):
 
 
 def knn(query, points, k: int, points_mask=None):
-    """Public entry point; dispatches to the best backend implementation."""
+    """Public entry point.
+
+    A Pallas kernel exists (ops/pallas/knn_kernel.py, interpret-validated)
+    but is not dispatched yet: embedding it in the full-model jit sent the
+    Mosaic remote compile into a multi-ten-minute path on the current
+    toolchain, and the XLA top_k form is only ~5 ms on the production
+    shapes. Revisit when the kernel compile is debugged.
+    """
     return knn_xla(query, points, k, points_mask=points_mask)
