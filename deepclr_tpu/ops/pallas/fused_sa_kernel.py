@@ -1,13 +1,17 @@
 """Pallas TPU kernel: fused ball-query + grouping + shared-MLP + max-pool.
 
-See ops/fused_sa.py for the math.  Grid design:
+See ops/fused_sa.py for the math.  Grid design (v2, resident centers):
 
-  grid = (B, P // TP, N // (G * CN))  — batch x center-tile x point-chunk
+  grid = (B, N // (G * inner))  — batch x point-sub-chunk
 
-The point-chunk axis is innermost, so the output block (one center tile) is
-*revisited* across chunks and accumulates a running max while Pallas
-double-buffers the streaming chunk inputs — no HBM gathers, no index
-materialization.
+All P centers (packed layer-1 terms + tiled coordinates) and the full
+(P, G*H3) output stay resident in VMEM for the whole cloud, so each cloud's
+points stream through HBM exactly ONCE (v1 re-streamed the cloud once per
+center tile, which made DMA + grid overhead the floor).  Inside the kernel a
+fully-unrolled loop over center tiles does the pairwise work; a
+host-precomputed (sub-chunk x tile) AABB-distance bitmap in SMEM skips tiles
+farther than the max radius — with Morton-sorted points AND centers, ~75-88%
+of tile visits are culled on KITTI-scale clouds.
 
 Lane packing: the shared MLP is narrow (H1 = 16..32 per scale bundle), which
 would waste the 128-wide MXU/VPU lanes.  G = 128 // H1 point groups are
@@ -17,14 +21,14 @@ matmuls (full MXU K utilization), and the final reduction over the G groups
 happens outside the kernel (one cheap XLA max).
 
 Distance + masking are a single MXU expansion matmul: packed coordinate
-differences squared [dx2 | invalidity] (CN, 3G+G lanes) x a 0/1/BIG matrix ->
-penalized squared distance per packed output column, so the only full-width
-VPU work per pair is compare/select/max.
+differences squared [dx2 | invalidity] (inner, 3G+G lanes) x a 0/1/BIG matrix
+-> penalized squared distance per packed output column, so the only
+full-width VPU work per pair is compare/select/max.
 
-Mosaic layout rules honored: pairwise (TP, CN, ·) tensors are built only by
+Mosaic layout rules honored: pairwise (T, inner, ·) tensors are built only by
 broadcasting *existing* unit dims (per-center inputs ship as (B, P, 1, ·)),
-reshapes merge/split leading dims only, and the inner sub-chunk loop is
-unrolled with static slice starts (a fori_loop with dynamic pl.ds starts
+reshapes merge/split leading dims only, and both the tile loop and the
+sub-chunk streaming use static offsets (a fori_loop with dynamic pl.ds starts
 sends the Mosaic compiler into a pathological multi-hour path).
 """
 from __future__ import annotations
@@ -59,51 +63,45 @@ def _block_diag(mats):
     return out
 
 
-def _make_kernel(n_tail: int, groups: int, inner: int, compute_dtype,
-                 r2_max: float):
-    def kernel(geo_ref, a_ref, aabb_ref, cts_ref, bc_ref, r2_ref, e2_ref,
+def _make_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
+                 inner: int, compute_dtype):
+    slices = stream // inner
+
+    def kernel(geo_ref, a_ref, act_ref, cts_ref, bc_ref, r2_ref, e2_ref,
                *tail_and_out):
         out_ref = tail_and_out[-1]
         tail = tail_and_out[:-1]
-        ni = pl.program_id(2)
+        ni = pl.program_id(1)
 
-        cnb = a_ref.shape[1]          # packed block length (points / G)
-        tp = bc_ref.shape[1]          # center tile
-        gh3 = out_ref.shape[2]        # G * H3
-        num_inner = cnb // inner
+        p = out_ref.shape[1]
+        gh3 = out_ref.shape[2]
 
         @pl.when(ni == 0)
         def _():
-            out_ref[0] = jnp.full((tp, gh3), _NEG, jnp.float32)
+            out_ref[0] = jnp.full((p, gh3), _NEG, jnp.float32)
 
-        bc = bc_ref[0]                # (TP, 1, G*H1) f32
-        cts = cts_ref[0]              # (TP, 1, G*3 + G) tiled centers ‖ 0
         e2 = e2_ref[:, :]             # (G*3 + G, G*H3) expansion matrix
         r2 = r2_ref[:, :, :]          # (1, 1, G*H3)
 
-        # center-tile AABB (coords identical across groups; use group 0)
-        c_lo = [jnp.min(cts[:, :, k]) for k in range(3)]
-        c_hi = [jnp.max(cts[:, :, k]) for k in range(3)]
-
-        def body(ii):
-            s = ii * inner
-            geo_c = geo_ref[0, pl.ds(s, inner), :][None]  # (1, CNI, 4G)
-            a_c = a_ref[0, pl.ds(s, inner), :][None]      # (1, CNI, G*H1)
+        def body(t, geo_c, a_c):
+            lo = t * tile
+            cts = cts_ref[0, lo:lo + tile]  # (tile, 1, 4G) static slice
+            bc = bc_ref[0, lo:lo + tile]    # (tile, 1, G*H1)
 
             # packed coordinate diffs: [x - c | (1-m)] for all G groups;
             # squaring leaves the invalidity indicator intact (0/1)
-            dx = geo_c - cts                               # (TP, CNI, 4G)
+            dx = geo_c - cts                # (tile, inner, 4G)
             dx2 = dx * dx
             # penalized squared distances per packed output column (MXU)
             d2_cols = jnp.dot(
-                dx2.reshape(tp * inner, -1), e2,
+                dx2.reshape(tile * inner, -1), e2,
                 preferred_element_type=jnp.float32,
-            ).reshape(tp, inner, gh3)
+            ).reshape(tile, inner, gh3)
 
             # layer 1 (f32 add for fidelity) then block-diagonal MXU tail
-            pre = jnp.maximum(a_c + bc, 0.0)  # (TP, CNI, G*H1)
-            h = jnp.broadcast_to(pre, (tp, inner, pre.shape[-1]))
-            h = h.reshape(tp * inner, -1).astype(compute_dtype)
+            pre = jnp.maximum(a_c + bc, 0.0)  # (tile, inner, G*H1)
+            h = jnp.broadcast_to(pre, (tile, inner, pre.shape[-1]))
+            h = h.reshape(tile * inner, -1).astype(compute_dtype)
             for li in range(n_tail):
                 w = tail[2 * li][:, :].astype(compute_dtype)
                 b = tail[2 * li + 1][:, :]
@@ -111,39 +109,35 @@ def _make_kernel(n_tail: int, groups: int, inner: int, compute_dtype,
                 h = jnp.maximum(acc + b.astype(jnp.float32), 0.0)
                 if li < n_tail - 1:
                     h = h.astype(compute_dtype)
-            h = h.reshape(tp, inner, gh3)
+            h = h.reshape(tile, inner, gh3)
 
             h = jnp.where(d2_cols < r2, h, _NEG)
-            out_ref[0] = jnp.maximum(out_ref[0], jnp.max(h, axis=1))
+            out_ref[0, lo:lo + tile, :] = jnp.maximum(
+                out_ref[0, lo:lo + tile, :], jnp.max(h, axis=1)
+            )
 
-        # unrolled sub-chunk loop with static slice starts; each sub-chunk
-        # is skipped entirely when its AABB is farther than the max radius
-        # from the center tile's AABB (points are Morton-sorted, so chunks
-        # are spatially tight)
-        for ii in range(num_inner):
-            d2_lb = jnp.float32(0.0)
-            for k in range(3):
-                p_lo = aabb_ref[0, ii, k]
-                p_hi = aabb_ref[0, ii, 3 + k]
-                gap = jnp.maximum(
-                    jnp.maximum(p_lo - c_hi[k], c_lo[k] - p_hi), 0.0
-                )
-                d2_lb = d2_lb + gap * gap
-
-            @pl.when(d2_lb < r2_max)
-            def _(ii=ii):
-                body(ii)
+        # unrolled (compute-slice x center-tile) loop with static offsets;
+        # a pair runs only when the host-side AABB bitmap says the slice
+        # can hold in-radius points for the tile
+        for k in range(slices):
+            s = k * inner
+            geo_c = geo_ref[0, s:s + inner, :][None]  # (1, inner, 4G)
+            a_c = a_ref[0, s:s + inner, :][None]      # (1, inner, G*H1)
+            for t in range(n_tiles):
+                @pl.when(act_ref[0, t, ni * slices + k] > 0)
+                def _(t=t, geo_c=geo_c, a_c=a_c):
+                    body(t, geo_c, a_c)
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "center_tile", "chunk", "inner",
+    static_argnames=("radius", "center_tile", "stream", "inner",
                      "compute_dtype", "interpret"),
 )
 def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
-                              features, mask, center_tile: int, chunk: int,
+                              features, mask, center_tile: int, stream: int,
                               inner: int, compute_dtype, interpret: bool):
     b, n, _ = xyz.shape
     p = centers.shape[1]
@@ -185,15 +179,31 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
     # geometry block: per group [x, y, z, invalid]  -> (B, N/G, 4G)
     geo = jnp.concatenate([xyz, inval], axis=-1).reshape(b, np_rows, groups * 4)
 
-    # per-sub-chunk AABBs over *valid* points (rows [s, s+inner) cover
-    # points [s*G, (s+inner)*G)); all-invalid chunks get an empty box that
-    # always culls
+    # --- host-side AABB culling bitmap ----------------------------------
+    # sub-chunk boxes over *valid* points (rows [s·inner, (s+1)·inner) cover
+    # points [s·inner·G, (s+1)·inner·G)); all-invalid chunks get an empty
+    # box that always culls
     n_sub = np_rows // inner
+    n_tiles = p // center_tile
     pts_sub = xyz.reshape(b, n_sub, inner * groups, 3)
     valid_sub = (inval < 0.5).reshape(b, n_sub, inner * groups, 1)
-    lo = jnp.min(jnp.where(valid_sub, pts_sub, jnp.inf), axis=2)
-    hi = jnp.max(jnp.where(valid_sub, pts_sub, -jnp.inf), axis=2)
-    aabb = jnp.concatenate([lo, hi], axis=-1)  # (B, n_sub, 6)
+    s_lo = jnp.min(jnp.where(valid_sub, pts_sub, jnp.inf), axis=2)
+    s_hi = jnp.max(jnp.where(valid_sub, pts_sub, -jnp.inf), axis=2)
+    c_tiles = centers.reshape(b, n_tiles, center_tile, 3)
+    t_lo = jnp.min(c_tiles, axis=2)
+    t_hi = jnp.max(c_tiles, axis=2)
+    gap = jnp.maximum(
+        jnp.maximum(
+            s_lo[:, :, None, :] - t_hi[:, None, :, :],
+            t_lo[:, None, :, :] - s_hi[:, :, None, :],
+        ),
+        0.0,
+    )
+    d2_lb = jnp.sum(gap * gap, axis=-1)           # (B, n_sub, n_tiles)
+    # (B, n_tiles, n_sub): whole per-cloud bitmap resident in SMEM, indexed
+    # [t, ni] (SMEM blocks need full trailing dims; dynamic scalar reads ok)
+    active = (d2_lb < r2_max).astype(jnp.int32).transpose(0, 2, 1)
+
     bc_t = jnp.tile(bc, (1, 1, groups))[:, :, None, :]  # (B,P,1,G*H1)
     # tiled centers matching the geo layout: [cx, cy, cz, 0] per group
     cts_pad = jnp.concatenate(
@@ -216,32 +226,30 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
     ]
     tail_b = [jnp.tile(bb, (groups,))[None, :] for bb in biases[1:]]
 
-    grid = (b, p // center_tile, np_rows // chunk)
+    grid = (b, np_rows // stream)
 
     def vm(block, index_map):
         return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
 
-    per_block = chunk // inner
     in_specs = [
-        vm((1, chunk, groups * 4), lambda bi, pi, ni: (bi, ni, 0)),    # geo
-        vm((1, chunk, groups * h1), lambda bi, pi, ni: (bi, ni, 0)),   # a_p
-        pl.BlockSpec((1, per_block, 6), lambda bi, pi, ni: (bi, ni, 0),
-                     memory_space=pltpu.SMEM),                          # aabb
-        vm((1, center_tile, 1, groups * 4),
-           lambda bi, pi, ni: (bi, pi, 0, 0)),                          # cts_t
-        vm((1, center_tile, 1, groups * h1),
-           lambda bi, pi, ni: (bi, pi, 0, 0)),                          # bc_t
-        pl.BlockSpec(memory_space=pltpu.VMEM),                          # r2_p
-        pl.BlockSpec(memory_space=pltpu.VMEM),                          # e2
+        vm((1, stream, groups * 4), lambda bi, ni: (bi, ni, 0)),    # geo
+        vm((1, stream, groups * h1), lambda bi, ni: (bi, ni, 0)),   # a_p
+        pl.BlockSpec((1, n_tiles, n_sub), lambda bi, ni: (bi, 0, 0),
+                     memory_space=pltpu.SMEM),                       # active
+        vm((1, p, 1, groups * 4), lambda bi, ni: (bi, 0, 0, 0)),    # cts_t
+        vm((1, p, 1, groups * h1), lambda bi, ni: (bi, 0, 0, 0)),   # bc_t
+        pl.BlockSpec(memory_space=pltpu.VMEM),                      # r2_p
+        pl.BlockSpec(memory_space=pltpu.VMEM),                      # e2
     ]
-    args = [geo, a_p, aabb, cts_t, bc_t, r2_p, e2]
+    args = [geo, a_p, active, cts_t, bc_t, r2_p, e2]
     for w, bb in zip(tail_w, tail_b):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(w)
         args.append(bb)
 
-    kernel = _make_kernel(n_tail, groups, inner, compute_dtype, r2_max)
+    kernel = _make_kernel(n_tail, n_tiles, center_tile, stream, inner,
+                          compute_dtype)
 
     packed = pl.pallas_call(
         kernel,
@@ -249,7 +257,7 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, center_tile, groups * h3), lambda bi, pi, ni: (bi, pi, 0),
+            (1, p, groups * h3), lambda bi, ni: (bi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
@@ -261,13 +269,17 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
 
 
 def ball_mlp_max_pallas(xyz, centers, weights, biases, radius,
-                        features=None, mask=None, center_tile: int = 32,
-                        chunk: int = 1024, inner: int = 128,
-                        compute_dtype=jnp.bfloat16, interpret: bool = False):
+                        features=None, mask=None, center_tile: int = 16,
+                        stream: int = 128, inner: int = 32,
+                        compute_dtype=jnp.bfloat16,
+                        interpret: bool = False, **_ignored):
     """Pallas TPU implementation of ops.fused_sa.ball_mlp_max.
 
-    chunk: packed rows streamed per grid step; inner: rows per compute
-    sub-chunk inside the kernel (bounds VMEM temporaries).
+    center_tile: centers processed per unrolled kernel iteration (smaller
+    tiles cull better, more unrolled code); stream: packed point rows
+    DMA'd per grid step (stream * G points); inner: rows per compute slice
+    inside the kernel — the culling granularity, and it bounds the live
+    VMEM temporaries (inner=32 keeps each body's activations ~2 MB).
     """
     p = centers.shape[1]
     center_tile = min(center_tile, p)
@@ -278,13 +290,13 @@ def ball_mlp_max_pallas(xyz, centers, weights, biases, radius,
     while n % groups != 0 and groups > 1:
         groups //= 2
     np_rows = n // groups
-    chunk = min(chunk, np_rows)
-    while np_rows % chunk != 0 and chunk > 1:
-        chunk //= 2
-    inner = min(inner, chunk)
-    while chunk % inner != 0 and inner > 1:
+    stream = min(stream, np_rows)
+    while np_rows % stream != 0 and stream > 1:
+        stream //= 2
+    inner = min(inner, stream)
+    while stream % inner != 0 and inner > 1:
         inner //= 2
     return _ball_mlp_max_pallas_impl(
         xyz, centers, tuple(weights), tuple(biases), radius, features, mask,
-        center_tile, chunk, inner, compute_dtype, interpret,
+        center_tile, stream, inner, compute_dtype, interpret,
     )
