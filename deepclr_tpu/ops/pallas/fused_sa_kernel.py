@@ -270,7 +270,7 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
 
 def ball_mlp_max_pallas(xyz, centers, weights, biases, radius,
                         features=None, mask=None, center_tile: int = 16,
-                        stream: int = 128, inner: int = 32,
+                        stream: int = 32, inner: int = 32,
                         compute_dtype=jnp.bfloat16,
                         interpret: bool = False, **_ignored):
     """Pallas TPU implementation of ops.fused_sa.ball_mlp_max.
