@@ -47,10 +47,11 @@ def knn_xla(query, points, k: int, points_mask=None):
 def knn(query, points, k: int, points_mask=None):
     """Public entry point.
 
-    A Pallas kernel exists (ops/pallas/knn_kernel.py, interpret-validated)
-    but is not dispatched yet: embedding it in the full-model jit sent the
-    Mosaic remote compile into a multi-ten-minute path on the current
-    toolchain, and the XLA top_k form is only ~5 ms on the production
-    shapes. Revisit when the kernel compile is debugged.
+    XLA only, deliberately: a hand-written Pallas kNN (MXU-free
+    per-coordinate distances + k masked-argmin sweeps) was tried and
+    removed — its Mosaic compile is pathological on the current toolchain
+    (a standalone (8, 1024, 1024, k=20) build exceeds 9.5 minutes), and
+    top_k contributes only ~2 ms to the full forward at production shapes,
+    so the ceiling on any kernel win is ~1 ms.
     """
     return knn_xla(query, points, k, points_mask=points_mask)
