@@ -26,8 +26,14 @@ computes the max over *all* in-radius points (a superset — identical whenever
 the ball holds <= nsample hits).  Every ball contains its own center (FPS
 picks real points), so balls are never empty.
 
-Differentiation: the Pallas forward kernel pairs with an XLA-scan backward
-(custom_vjp) — training gets the fast forward and a fully-fused gradient.
+Differentiation: because the output is a max over neighbors, its gradient
+touches only the winning point per (center, output column).  On TPU the
+backward therefore (1) re-runs the Pallas kernel with argmax tracking, then
+(2) re-evaluates the MLP chain at just the B*P*H3 winning pairs (~1M rows
+at KITTI scale vs ~67M packed pairwise rows for a scan recompute) and
+scatters gradients back — an exact subgradient (ties go to the lowest
+point index instead of being split, which only matters for duplicated
+points).  Off-TPU the backward differentiates the XLA scan formulation.
 """
 from __future__ import annotations
 
@@ -166,17 +172,87 @@ def ball_mlp_max_xla(xyz, centers, weights, biases, radius: Radius,
                      m, radius, chunk, compute_dtype)
 
 
+def _winner_mlp(x_w, centers, f_w, weights, biases, valid):
+    """Re-evaluate the fused MLP at the winning pairs only.
+
+    x_w: (B, P, H3, 3) winner coords, centers: (B, P, 3),
+    f_w: (B, P, H3, F) winner features or None -> (B, P, H3) the winning
+    output column's value per (center, column).  Differentiating THIS
+    function gives the exact max-pool subgradient of ball_mlp_max.
+    """
+    dxc = x_w - centers[:, :, None, :]
+    h = dxc if f_w is None else jnp.concatenate([dxc, f_w], axis=-1)
+    for w, bb in zip(weights[:-1], biases[:-1]):
+        h = jnp.maximum(jnp.dot(h, w) + bb, 0.0)
+    out = jnp.maximum(
+        jnp.einsum("bpch,hc->bpc", h, weights[-1]) + biases[-1][None, None, :],
+        0.0,
+    )
+    return jnp.where(valid, out, 0.0)
+
+
+def _winner_grads(xyz, centers, weights, biases, features, jstar, g):
+    """Winner-only VJP: gather the argmax points, differentiate the MLP
+    re-evaluation at just those pairs, scatter point-gradients back."""
+    b, n, _ = xyz.shape
+    p = centers.shape[1]
+    h3 = weights[-1].shape[-1]
+
+    valid = jstar >= 0  # (B, P, H3)
+    js = jnp.maximum(jstar, 0).reshape(b, p * h3)
+
+    x_w = jnp.take_along_axis(xyz, js[..., None], axis=1)
+    x_w = x_w.reshape(b, p, h3, 3)
+    if features is not None:
+        f_w = jnp.take_along_axis(features, js[..., None], axis=1)
+        f_w = f_w.reshape(b, p, h3, features.shape[-1])
+    else:
+        f_w = None
+
+    g = jnp.where(valid, g, 0.0)
+    if f_w is None:
+        _, vjp = jax.vjp(
+            lambda xw, c, w, bb: _winner_mlp(xw, c, None, w, bb, valid),
+            x_w, centers, weights, biases,
+        )
+        dx_w, dcenters, dweights, dbiases = vjp(g)
+        df_w = None
+    else:
+        _, vjp = jax.vjp(
+            lambda xw, c, fw, w, bb: _winner_mlp(xw, c, fw, w, bb, valid),
+            x_w, centers, f_w, weights, biases,
+        )
+        dx_w, dcenters, df_w, dweights, dbiases = vjp(g)
+
+    rows = jnp.arange(b)[:, None]
+    dxyz = jnp.zeros_like(xyz).at[rows, js].add(
+        dx_w.reshape(b, p * h3, 3)
+    )
+    dfeatures = None
+    if features is not None:
+        dfeatures = jnp.zeros_like(features).at[rows, js].add(
+            df_w.reshape(b, p * h3, features.shape[-1])
+        )
+    return dxyz, dcenters, dweights, dbiases, dfeatures
+
+
 def ball_mlp_max(xyz, centers, weights, biases, radius: Radius,
                  features=None, mask=None, chunk: int = 512,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, backward: str = "auto"):
     """Fused radius-neighborhood PointNet scale (differentiable).
 
     Forward runs the Pallas TPU kernel when on TPU (XLA scan elsewhere);
-    backward always differentiates the XLA formulation.
+    backward uses the winner-only argmax formulation on TPU and
+    differentiates the XLA scan elsewhere (see module docstring).
+    ``backward`` overrides the choice for testing: "argmax" forces the
+    winner-only path (interpret-mode kernel off-TPU), "scan" forces the
+    XLA-scan VJP.
     """
     from .pallas.fused_sa_kernel import ball_mlp_max_pallas, pallas_available
 
     use_pallas = pallas_available()
+    use_argmax = (backward == "argmax"
+                  or (backward == "auto" and use_pallas))
     radius_t = radius if isinstance(radius, tuple) else float(radius)
     weights = tuple(weights)
     biases = tuple(biases)
@@ -202,6 +278,23 @@ def ball_mlp_max(xyz, centers, weights, biases, radius: Radius,
 
     def f_bwd(res, g):
         xyz, centers, weights, biases, features, m = res
+        if use_argmax:
+            # the argmax pass re-derives winners from penalized distances,
+            # so it gets the validity mask directly
+            from .pallas.fused_sa_kernel import ball_mlp_max_pallas_argmax
+
+            _, jstar = ball_mlp_max_pallas_argmax(
+                xyz, centers, weights, biases, radius_t,
+                features=features, mask=m[..., 0] > 0.5,
+                compute_dtype=compute_dtype, interpret=not use_pallas,
+            )
+            dxyz, dcenters, dweights, dbiases, dfeatures = _winner_grads(
+                xyz, centers, weights, biases, features, jstar, g
+            )
+            if features is None:
+                dfeatures = None
+            return (dxyz, dcenters, dweights, dbiases, dfeatures,
+                    jnp.zeros_like(m))
         _, vjp = jax.vjp(
             lambda xyz, centers, weights, biases, features: _xla_impl(
                 xyz, centers, weights, biases, features, m,

@@ -41,7 +41,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ball_mlp_max_pallas", "pallas_available"]
+__all__ = [
+    "ball_mlp_max_pallas",
+    "ball_mlp_max_pallas_argmax",
+    "pallas_available",
+]
 
 _NEG = -1e30  # python float: jnp scalars would be captured consts in kernels
 _BIG = 1e12   # penalty added to d2 of invalid points
@@ -64,13 +68,19 @@ def _block_diag(mats):
 
 
 def _make_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
-                 inner: int, compute_dtype):
+                 inner: int, compute_dtype, groups: int, h3: int,
+                 with_argmax: bool):
     slices = stream // inner
 
     def kernel(geo_ref, a_ref, act_ref, cts_ref, bc_ref, r2_ref, e2_ref,
                *tail_and_out):
-        out_ref = tail_and_out[-1]
-        tail = tail_and_out[:-1]
+        if with_argmax:
+            out_ref, idx_ref = tail_and_out[-2], tail_and_out[-1]
+            tail = tail_and_out[:-2]
+        else:
+            out_ref = tail_and_out[-1]
+            idx_ref = None
+            tail = tail_and_out[:-1]
         ni = pl.program_id(1)
 
         p = out_ref.shape[1]
@@ -79,11 +89,21 @@ def _make_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
         @pl.when(ni == 0)
         def _():
             out_ref[0] = jnp.full((p, gh3), _NEG, jnp.float32)
+            if with_argmax:
+                idx_ref[0] = jnp.full((p, gh3), -1, jnp.int32)
 
         e2 = e2_ref[:, :]             # (G*3 + G, G*H3) expansion matrix
         r2 = r2_ref[:, :, :]          # (1, 1, G*H3)
+        if with_argmax:
+            # packed column -> point-group offset: lane // H3
+            lane_g = jax.lax.broadcasted_iota(
+                jnp.int32, (1, inner, gh3), 2
+            ) // h3
+            row_io = jax.lax.broadcasted_iota(
+                jnp.int32, (1, inner, gh3), 1
+            )
 
-        def body(t, geo_c, a_c):
+        def body(t, k, geo_c, a_c):
             lo = t * tile
             cts = cts_ref[0, lo:lo + tile]  # (tile, 1, 4G) static slice
             bc = bc_ref[0, lo:lo + tile]    # (tile, 1, G*H1)
@@ -112,9 +132,24 @@ def _make_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
             h = h.reshape(tile, inner, gh3)
 
             h = jnp.where(d2_cols < r2, h, _NEG)
-            out_ref[0, lo:lo + tile, :] = jnp.maximum(
-                out_ref[0, lo:lo + tile, :], jnp.max(h, axis=1)
-            )
+            rowmax = jnp.max(h, axis=1)      # (tile, gh3)
+            old = out_ref[0, lo:lo + tile, :]
+            if with_argmax:
+                # flat point index of the slice-local winner (lowest on ties)
+                j_t = (ni * stream + k * inner + row_io) * groups + lane_g
+                rsel = h == rowmax[:, None, :]
+                rj = jnp.min(
+                    jnp.where(rsel, jnp.broadcast_to(j_t, h.shape),
+                              jnp.int32(2**30)),
+                    axis=1,
+                )
+                upd = rowmax > old
+                idx_ref[0, lo:lo + tile, :] = jnp.where(
+                    upd, rj, idx_ref[0, lo:lo + tile, :]
+                )
+                out_ref[0, lo:lo + tile, :] = jnp.where(upd, rowmax, old)
+            else:
+                out_ref[0, lo:lo + tile, :] = jnp.maximum(old, rowmax)
 
         # unrolled (compute-slice x center-tile) loop with static offsets;
         # a pair runs only when the host-side AABB bitmap says the slice
@@ -125,8 +160,8 @@ def _make_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
             a_c = a_ref[0, s:s + inner, :][None]      # (1, inner, G*H1)
             for t in range(n_tiles):
                 @pl.when(act_ref[0, t, ni * slices + k] > 0)
-                def _(t=t, geo_c=geo_c, a_c=a_c):
-                    body(t, geo_c, a_c)
+                def _(t=t, k=k, geo_c=geo_c, a_c=a_c):
+                    body(t, k, geo_c, a_c)
 
     return kernel
 
@@ -134,11 +169,12 @@ def _make_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
 @functools.partial(
     jax.jit,
     static_argnames=("radius", "center_tile", "stream", "inner",
-                     "compute_dtype", "interpret"),
+                     "compute_dtype", "interpret", "with_argmax"),
 )
 def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
                               features, mask, center_tile: int, stream: int,
-                              inner: int, compute_dtype, interpret: bool):
+                              inner: int, compute_dtype, interpret: bool,
+                              with_argmax: bool = False):
     b, n, _ = xyz.shape
     p = centers.shape[1]
     w1, b1 = weights[0], biases[0]
@@ -249,38 +285,47 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
         args.append(bb)
 
     kernel = _make_kernel(n_tail, n_tiles, center_tile, stream, inner,
-                          compute_dtype)
+                          compute_dtype, groups, h3, with_argmax)
 
-    packed = pl.pallas_call(
+    out_spec = pl.BlockSpec(
+        (1, p, groups * h3), lambda bi, ni: (bi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    if with_argmax:
+        out_shape = (
+            jax.ShapeDtypeStruct((b, p, groups * h3), jnp.float32),
+            jax.ShapeDtypeStruct((b, p, groups * h3), jnp.int32),
+        )
+        out_specs = (out_spec, out_spec)
+    else:
+        out_shape = jax.ShapeDtypeStruct((b, p, groups * h3), jnp.float32)
+        out_specs = out_spec
+
+    result = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, p, groups * h3), jnp.float32),
+        out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, p, groups * h3), lambda bi, ni: (bi, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_specs,
         interpret=interpret,
     )(*args)
 
     # reduce over the packed groups + empty-ball guard (tiny XLA ops)
-    out = jnp.max(packed.reshape(b, p, groups, h3), axis=2)
-    return jnp.where(out <= _NEG / 2, 0.0, out)
+    packed = result[0] if with_argmax else result
+    vals = packed.reshape(b, p, groups, h3)
+    out = jnp.max(vals, axis=2)
+    guarded = jnp.where(out <= _NEG / 2, 0.0, out)
+    if not with_argmax:
+        return guarded
+
+    idx = result[1].reshape(b, p, groups, h3)
+    gstar = jnp.argmax(vals, axis=2)                       # (B, P, H3)
+    jstar = jnp.take_along_axis(idx, gstar[:, :, None, :], axis=2)[:, :, 0, :]
+    jstar = jnp.where(out <= _NEG / 2, -1, jstar)
+    return guarded, jstar
 
 
-def ball_mlp_max_pallas(xyz, centers, weights, biases, radius,
-                        features=None, mask=None, center_tile: int = 16,
-                        stream: int = 32, inner: int = 32,
-                        compute_dtype=jnp.bfloat16,
-                        interpret: bool = False, **_ignored):
-    """Pallas TPU implementation of ops.fused_sa.ball_mlp_max.
-
-    center_tile: centers processed per unrolled kernel iteration (smaller
-    tiles cull better, more unrolled code); stream: packed point rows
-    DMA'd per grid step (stream * G points); inner: rows per compute slice
-    inside the kernel — the culling granularity, and it bounds the live
-    VMEM temporaries (inner=32 keeps each body's activations ~2 MB).
-    """
+def _tile_sizes(xyz, centers, weights, center_tile, stream, inner):
     p = centers.shape[1]
     center_tile = min(center_tile, p)
     while p % center_tile != 0:
@@ -296,7 +341,45 @@ def ball_mlp_max_pallas(xyz, centers, weights, biases, radius,
     inner = min(inner, stream)
     while stream % inner != 0 and inner > 1:
         inner //= 2
+    return center_tile, stream, inner
+
+
+def ball_mlp_max_pallas(xyz, centers, weights, biases, radius,
+                        features=None, mask=None, center_tile: int = 16,
+                        stream: int = 32, inner: int = 32,
+                        compute_dtype=jnp.bfloat16,
+                        interpret: bool = False, **_ignored):
+    """Pallas TPU implementation of ops.fused_sa.ball_mlp_max.
+
+    center_tile: centers processed per unrolled kernel iteration (smaller
+    tiles cull better, more unrolled code); stream: packed point rows
+    DMA'd per grid step (stream * G points); inner: rows per compute slice
+    inside the kernel — the culling granularity, and it bounds the live
+    VMEM temporaries (inner=32 keeps each body's activations ~2 MB).
+    """
+    center_tile, stream, inner = _tile_sizes(
+        xyz, centers, weights, center_tile, stream, inner
+    )
     return _ball_mlp_max_pallas_impl(
         xyz, centers, tuple(weights), tuple(biases), radius, features, mask,
         center_tile, stream, inner, compute_dtype, interpret,
+    )
+
+
+def ball_mlp_max_pallas_argmax(xyz, centers, weights, biases, radius,
+                               features=None, mask=None,
+                               center_tile: int = 16, stream: int = 32,
+                               inner: int = 32, compute_dtype=jnp.bfloat16,
+                               interpret: bool = False):
+    """Like ball_mlp_max_pallas, but also returns the flat winner index per
+    (center, output column): (out (B,P,H3) f32, jstar (B,P,H3) i32, -1 for
+    empty balls).  Used by the argmax-based backward pass (ops/fused_sa.py),
+    which re-evaluates the MLP chain only at the winning pairs."""
+    center_tile, stream, inner = _tile_sizes(
+        xyz, centers, weights, center_tile, stream, inner
+    )
+    return _ball_mlp_max_pallas_impl(
+        xyz, centers, tuple(weights), tuple(biases), radius, features, mask,
+        center_tile, stream, inner, compute_dtype, interpret,
+        with_argmax=True,
     )

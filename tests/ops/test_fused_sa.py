@@ -130,6 +130,83 @@ def test_fused_gradients_flow():
     np.testing.assert_allclose(np.asarray(g2), np.asarray(grads_f), atol=1e-4)
 
 
+def test_argmax_backward_matches_scan_backward():
+    """The TPU winner-only backward must produce the same gradients as
+    differentiating the XLA scan (no duplicate points -> unique winners,
+    so the subgradients coincide)."""
+    from deepclr_tpu.ops.fused_sa import ball_mlp_max
+
+    xyz, feat, mask = _data(seed=11)
+    centers = xyz[:, :P, :]
+    sw, sb = _params(seed=12)
+    weights, biases, radius_cols = multi_scale_bundle(sw, sb, (0.8, 1.5))
+
+    def loss(backward):
+        def fn(ws, bs, feat, xyz, centers):
+            out = ball_mlp_max(
+                xyz, centers, tuple(ws), tuple(bs), radius_cols,
+                features=feat, mask=mask, compute_dtype=jnp.float32,
+                backward=backward,
+            )
+            return jnp.sum(out ** 2)
+        return fn
+
+    args = (weights, biases, feat, xyz, centers)
+    g_scan = jax.grad(loss("scan"), argnums=(0, 1, 2, 3, 4))(*args)
+    g_arg = jax.grad(loss("argmax"), argnums=(0, 1, 2, 3, 4))(*args)
+    for gs, ga in zip(jax.tree_util.tree_leaves(g_scan),
+                      jax.tree_util.tree_leaves(g_arg)):
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gs), atol=2e-3, rtol=1e-3
+        )
+
+
+def test_argmax_kernel_winner_indices():
+    """The argmax output must point at the actual maximizing point per
+    (center, column), and -1 for empty balls."""
+    from deepclr_tpu.ops.pallas.fused_sa_kernel import (
+        ball_mlp_max_pallas_argmax,
+    )
+
+    xyz, feat, mask = _data(seed=13)
+    centers = xyz[:, :P, :]
+    sw, sb = _params(seed=14)
+    weights, biases, radius_cols = multi_scale_bundle(sw, sb, (0.8, 1.5))
+
+    out, jstar = jax.jit(
+        lambda x, c, f: ball_mlp_max_pallas_argmax(
+            x, c, tuple(weights), tuple(biases), radius_cols,
+            features=f, mask=mask, compute_dtype=jnp.float32,
+            interpret=True,
+        )
+    )(xyz, centers, feat)
+    out = np.asarray(out)
+    jstar = np.asarray(jstar)
+
+    # numpy reference: evaluate the MLP at each winner index and compare
+    xyz_n, feat_n, mask_n = (np.asarray(xyz), np.asarray(feat),
+                             np.asarray(mask))
+    w_n = [np.asarray(w) for w in weights]
+    b_n = [np.asarray(x) for x in biases]
+    r2 = np.asarray(radius_cols) ** 2
+    for b in range(B):
+        for p in (0, 7, P - 1):
+            for c in (0, 5, len(r2) - 1):
+                j = jstar[b, p, c]
+                if j < 0:
+                    assert out[b, p, c] == 0.0
+                    continue
+                assert mask_n[b, j]
+                d2 = ((xyz_n[b, j] - centers[b, p]) ** 2).sum()
+                assert d2 < r2[c]
+                h = np.concatenate(
+                    [xyz_n[b, j] - np.asarray(centers)[b, p], feat_n[b, j]]
+                )
+                for w, bb in zip(w_n, b_n):
+                    h = np.maximum(h @ w + bb, 0.0)
+                np.testing.assert_allclose(h[c], out[b, p, c], atol=1e-4)
+
+
 def test_padding_points_never_contribute():
     xyz, feat, mask = _data(seed=7)
     sw, sb = _params(seed=8, scales=1)
