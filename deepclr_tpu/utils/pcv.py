@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
-import matplotlib
 import numpy as np
 
 __all__ = ["PointCloudVisualizer"]

@@ -3,7 +3,6 @@
 scripts): template vs source before and after applying the predicted
 transform, from an inference output directory + the original data."""
 import argparse
-import os.path as osp
 
 import numpy as np
 

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from deepclr_tpu.config import Config, Mode, create_default_config, finish_config
+from deepclr_tpu.config import Mode, create_default_config, finish_config
 from deepclr_tpu.engine import run_trainer
 from deepclr_tpu.geometry import LabelType, se3
 from deepclr_tpu.losses import make_loss_fn, make_metric_fns

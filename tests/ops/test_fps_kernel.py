@@ -7,7 +7,6 @@ from deepclr_tpu.ops.fps import furthest_point_sample_xla
 
 def _pallas_fps_interpret(xyz, npoint, mask=None):
     """Run the kernel in interpreter mode (patch pallas_call interpret)."""
-    import jax
     from unittest import mock
     from jax.experimental import pallas as pl
 

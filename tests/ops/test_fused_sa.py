@@ -3,7 +3,6 @@ kernel (interpret mode), and gradient flow."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from deepclr_tpu.models.pointnet2 import SetAbstractionMSG
 from deepclr_tpu.ops.fused_sa import (

@@ -1,5 +1,4 @@
 """Morton sorting: key locality + set invariance of the fused SA output."""
-import jax
 import jax.numpy as jnp
 import numpy as np
 
