@@ -11,10 +11,16 @@ implementations that run on TPU (or CPU):
   * GICP      — Segal generalized (plane-to-plane) ICP: per-point regularized
     covariances, Mahalanobis-weighted Gauss-Newton.
 
-All variants run a fixed ``max_iterations`` loop (lax.fori) with
-``max_distance`` correspondence gating, matching the reference's usage
-(scripts/icp.py); ``register(template, source)`` returns the 4x4 transform
-mapping source into the template frame.
+All variants iterate until the parameter update falls below ``epsilon``
+or ``max_iterations`` is reached (lax.while_loop), mirroring the reference
+GICP's convergence contract (gicp_binding.cpp: epsilon=1e-3, max 100 outer
+iterations), with ``max_distance`` correspondence gating;
+``register(template, source)`` returns the 4x4 transform mapping source
+into the template frame (``return_info=True`` adds iteration count and the
+final update magnitude).
+
+Clouds are padded to power-of-two sizes (min 1024), so ``_icp_core``
+recompiles at most once per pow2 bucket, not per cloud size.
 """
 from __future__ import annotations
 
@@ -151,13 +157,14 @@ def _gauss_newton_step(src0, src_mask, template, template_mask, transform,
 
 
 @partial(jax.jit, static_argnames=("algorithm", "max_distance",
-                                   "max_iterations"))
+                                   "max_iterations", "epsilon"))
 def _icp_core(algorithm: str, src, src_mask, template, template_mask,
-              aux_template, max_distance: float, max_iterations: int):
+              aux_template, max_distance: float, max_iterations: int,
+              epsilon: float):
     src_mask_f = src_mask.astype(jnp.float32)
 
     if algorithm == "icp_po2po":
-        def body(_, transform):
+        def step(transform):
             return _icp_po2po_step(
                 src, src_mask_f, template, template_mask, transform,
                 max_distance,
@@ -169,7 +176,7 @@ def _icp_core(algorithm: str, src, src_mask, template, template_mask,
             n = normals[idx]
             return n[:, :, None] * n[:, None, :]  # rank-1 L = n n^T
 
-        def body(_, transform):
+        def step(transform):
             return _gauss_newton_step(
                 src, src_mask_f, template, template_mask, transform,
                 max_distance, None, weight_fn,
@@ -186,7 +193,7 @@ def _icp_core(algorithm: str, src, src_mask, template, template_mask,
             # whitening factor: ||L d||^2 == d^T M d  (L = chol(M)^T)
             return jnp.swapaxes(jnp.linalg.cholesky(info), -1, -2)
 
-        def body(_, transform):
+        def step(transform):
             return _gauss_newton_step(
                 src, src_mask_f, template, template_mask, transform,
                 max_distance, None, weight_fn,
@@ -194,8 +201,21 @@ def _icp_core(algorithm: str, src, src_mask, template, template_mask,
     else:  # pragma: no cover
         raise ValueError(algorithm)
 
-    init = jnp.eye(4)
-    return jax.lax.fori_loop(0, max_iterations, body, init)
+    # converge on parameter-update magnitude, like the reference GICP
+    # (epsilon on the transform delta, capped outer iterations)
+    def cond(state):
+        _, it, delta = state
+        return (it < max_iterations) & (delta >= epsilon)
+
+    def body(state):
+        transform, it, _ = state
+        new = step(transform)
+        delta = jnp.max(jnp.abs(new - transform))
+        return new, it + 1, delta
+
+    init = (jnp.eye(4), jnp.int32(0), jnp.float32(jnp.inf))
+    transform, n_iter, delta = jax.lax.while_loop(cond, body, init)
+    return transform, n_iter, delta
 
 
 def _pad_pow2(cloud: np.ndarray, minimum: int = 1024):
@@ -214,12 +234,13 @@ class ICPRegistration:
 
     def __init__(self, algorithm: ICPAlgorithm, max_distance: float = 1.0,
                  neighbor_radius: float = 1.0, max_nn: int = 30,
-                 max_iterations: int = 30):
+                 max_iterations: int = 100, epsilon: float = 1e-3):
         self._algorithm = ICPAlgorithm.create(algorithm)
         self._max_distance = float(max_distance)
         self._neighbor_radius = neighbor_radius
         self._max_nn = int(max_nn)
         self._max_iterations = int(max_iterations)
+        self._epsilon = float(epsilon)
 
     def prepare(self, cloud: np.ndarray) -> Any:
         """Pad + precompute per-cloud data (normals / covariances)."""
@@ -235,8 +256,12 @@ class ICPRegistration:
             )
         return prepared
 
-    def register(self, template: Any, source: Any) -> np.ndarray:
-        """4x4 transform aligning source onto template."""
+    def register(self, template: Any, source: Any, return_info: bool = False):
+        """4x4 transform aligning source onto template.
+
+        With ``return_info``: (transform, {iterations, final_delta}) — the
+        convergence diagnostics of the epsilon-gated loop.
+        """
         algo = self._algorithm.value
         if self._algorithm == ICPAlgorithm.ICP_PO2PO:
             aux = jnp.zeros(())
@@ -244,8 +269,13 @@ class ICPRegistration:
             aux = template["normals"]
         else:
             aux = {"cov_template": template["cov"], "cov_source": source["cov"]}
-        m = _icp_core(
+        m, n_iter, delta = _icp_core(
             algo, source["points"], source["mask"], template["points"],
             template["mask"], aux, self._max_distance, self._max_iterations,
+            self._epsilon,
         )
+        if return_info:
+            return np.asarray(m), {
+                "iterations": int(n_iter), "final_delta": float(delta),
+            }
         return np.asarray(m)

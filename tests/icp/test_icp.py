@@ -53,3 +53,51 @@ def test_icp_recovers_transform(algorithm):
     aligned = source_cloud @ m[:3, :3].T + m[:3, 3]
     err = np.linalg.norm(aligned - cloud, axis=1).mean()
     assert err < 0.05, f"{algorithm}: mean alignment error {err}"
+
+
+@pytest.mark.parametrize("algorithm", list(ICPAlgorithm))
+def test_icp_converges_before_iteration_cap(algorithm):
+    """The epsilon gate must stop the loop well before max_iterations on an
+    easy problem, and report a final update magnitude below epsilon."""
+    cloud = _make_cloud(768, seed=3)
+    gt = _transform(yaw_deg=1.0, t=(0.05, 0.02, -0.01))
+    source_cloud = cloud @ gt[:3, :3].T + gt[:3, 3]
+
+    reg = ICPRegistration(algorithm, max_distance=2.0, max_iterations=100,
+                          epsilon=1e-3)
+    m, info = reg.register(
+        reg.prepare(cloud), reg.prepare(source_cloud), return_info=True
+    )
+    assert info["iterations"] < 100, info
+    assert info["final_delta"] < 1e-3, info
+    aligned = source_cloud @ m[:3, :3].T + m[:3, 3]
+    assert np.linalg.norm(aligned - cloud, axis=1).mean() < 0.05
+
+
+@pytest.mark.parametrize("algorithm", list(ICPAlgorithm))
+def test_icp_realistic_lidar_offset(algorithm):
+    """KITTI-scale accuracy: a synthetic HDL-64-style scan pair with a
+    realistic frame-to-frame motion (~1 m forward, ~2 deg yaw) must be
+    registered to centimeter translation / sub-0.5-degree rotation."""
+    from deepclr_tpu.data.synthetic import lidar_pair
+
+    rng = np.random.default_rng(7)
+    gt = _transform(yaw_deg=2.0, t=(1.0, 0.1, 0.02))
+    template, source, _ = lidar_pair(
+        rng, 4096, motion=gt.astype(np.float32), noise=0.01
+    )
+
+    reg = ICPRegistration(algorithm, max_distance=2.0, max_iterations=100)
+    m, info = reg.register(
+        reg.prepare(template[:, :3]), reg.prepare(source[:, :3]),
+        return_info=True,
+    )
+    t_err = np.linalg.norm(m[:3, 3] - gt[:3, 3])
+    cos = np.clip((np.trace(m[:3, :3] @ gt[:3, :3].T) - 1) / 2, -1, 1)
+    r_err = np.degrees(np.arccos(cos))
+    # point-to-point slides along the dominant ground plane when the two
+    # scans' ring patterns differ (well-known p2p weakness on LiDAR); the
+    # plane-aware variants must hit the tight bound
+    t_bound = 0.35 if algorithm == ICPAlgorithm.ICP_PO2PO else 0.10
+    assert t_err < t_bound, f"{algorithm}: translation error {t_err:.3f} m {info}"
+    assert r_err < 0.5, f"{algorithm}: rotation error {r_err:.3f} deg {info}"
