@@ -32,8 +32,11 @@ def main():
                         help="neighbor radius (e.g. for ICP plane) (default: 1.0)")
     parser.add_argument("--max-nn", type=int, default=30,
                         help="maximal number of neighbors (default: 30)")
-    parser.add_argument("--max-iterations", type=int, default=30,
-                        help="ICP iterations (default: 30)")
+    parser.add_argument("--max-iterations", type=int, default=100,
+                        help="ICP outer iteration cap (default: 100)")
+    parser.add_argument("--epsilon", type=float, default=1e-3,
+                        help="convergence threshold on the transform "
+                             "update (default: 1e-3)")
     args = parser.parse_args()
 
     logger = create_logger("evaluation")
@@ -45,7 +48,7 @@ def main():
     registration = ICPRegistration(
         algorithm, max_distance=args.max_distance,
         neighbor_radius=args.neighbor_radius, max_nn=args.max_nn,
-        max_iterations=args.max_iterations,
+        max_iterations=args.max_iterations, epsilon=args.epsilon,
     )
     evaluator = Evaluator()
 
@@ -63,6 +66,7 @@ def main():
             "neighbor_radius": args.neighbor_radius,
             "max_nn": args.max_nn,
             "max_iterations": args.max_iterations,
+            "epsilon": args.epsilon,
         },
     }
     with open(osp.join(output_dir, "scenario.yaml"), "w") as f:
