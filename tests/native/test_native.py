@@ -77,6 +77,17 @@ def test_kitti_devkit_eval(tmp_path):
             assert t_err == pytest.approx(2.0, rel=0.05)
             assert r_err == pytest.approx(0.0, abs=1e-9)
 
+    # plot artifacts (reference devkit writes path + error plots into
+    # pred_dir/result, extern/kitti_devkit.patch:28-60)
+    from deepclr_tpu.kitti_devkit.plots import write_plots
+
+    seqs = write_plots(str(gt_dir), str(pred_dir))
+    assert seqs == ["04"]
+    assert (result / "04_path.png").exists()
+    assert (result / "04_tl.png").exists()
+    assert (result / "avg_tl.png").exists()
+    assert (result / "avg_rs.png").exists()
+
 
 def test_standalone_binaries_build():
     build_library("kitti_devkit")
