@@ -89,6 +89,9 @@ def create_default_config(mode: Mode) -> Config:
     cfg.define_param("batch_size", parent=dl, default=1)
     cfg.define_param("buffer_size", parent=dl, default=0)
     cfg.define_param("num_points", parent=dl, default=None)
+    # thread (GIL-releasing numpy transforms) | process (GIL-bound chains,
+    # e.g. host FPS on large clouds — the reference's ZMQ-worker analog)
+    cfg.define_param("worker_type", parent=dl, default="thread")
 
     # model
     m = cfg.define_group("model")

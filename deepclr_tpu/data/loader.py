@@ -1,14 +1,24 @@
 """Data loader: dataset -> transforms -> fixed-shape batches -> prefetch.
 
 Replaces the reference's Tensorpack ZMQ multi-process pipeline
-(data/build.py:169-241) with a thread-pool map (the transforms are
-numpy-heavy and release the GIL in practice) plus a producer thread feeding a
-bounded queue, so host preprocessing overlaps device compute.
+(data/build.py:169-241) with a worker map plus a producer thread feeding a
+bounded queue, so host preprocessing overlaps device compute.  Two worker
+modes (``data_loader.worker_type``):
+
+  * ``thread`` (default): ThreadPoolExecutor — numpy-heavy transforms
+    release the GIL in practice, and samples never cross a pickle boundary.
+  * ``process``: forked worker processes — the TPU-equivalent of the
+    reference's MultiProcessMapDataZMQ, for transform chains that hold the
+    GIL (e.g. the O(n^2) host FPS on large clouds).  Each worker reseeds
+    its transform copy so augmentation streams differ across workers.
 """
 from __future__ import annotations
 
+import multiprocessing
+import os
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, List, Optional, Union
 
@@ -39,6 +49,50 @@ def _map_iter(it: Iterator, fn: Callable, workers: int, buffer: int) -> Iterator
                 yield pending.pop(0).result()
         for f in pending:
             yield f.result()
+
+
+_WORKER_FN: Optional[Callable] = None
+
+
+def _reseed_transform(fn: Callable, seed: int) -> None:
+    """Give every rng-carrying member of a Compose its own fresh stream."""
+    members = getattr(fn, "transforms", [fn])
+    for i, t in enumerate(members):
+        if hasattr(t, "rng"):
+            t.rng = np.random.default_rng(seed + 7919 * (i + 1))
+
+
+def _proc_init(fn: Callable, seed: int) -> None:
+    global _WORKER_FN
+    _WORKER_FN = fn
+    _reseed_transform(fn, seed ^ os.getpid())
+
+
+def _proc_apply(x):
+    return _WORKER_FN(x)
+
+
+def _map_iter_proc(it: Iterator, fn: Callable, workers: int, buffer: int,
+                   seed: int) -> Iterator:
+    """Map fn over an iterator with spawned worker processes, preserving
+    order with bounded in-flight submissions (Pool.imap's feeder thread
+    would otherwise drain the whole epoch into its task queue).  spawn,
+    not fork: the parent holds jax's thread pools and forking them is a
+    documented deadlock."""
+    ctx = multiprocessing.get_context("spawn")
+    pool = ctx.Pool(workers, initializer=_proc_init, initargs=(fn, seed))
+    try:
+        pending: deque = deque()
+        depth = max(buffer, workers * 2)
+        for x in it:
+            pending.append(pool.apply_async(_proc_apply, (x,)))
+            if len(pending) >= depth:
+                yield pending.popleft().get()
+        while pending:
+            yield pending.popleft().get()
+    finally:
+        pool.terminate()
+        pool.join()
 
 
 class _Prefetcher:
@@ -135,6 +189,7 @@ class DataLoader:
         )
         workers = self._cfg.data_loader.num_workers if self._is_train else 0
         buffer = self._cfg.data_loader.buffer_size
+        worker_type = getattr(self._cfg.data_loader, "worker_type", "thread")
 
         def sharded():
             if self._num_shards <= 1:
@@ -145,7 +200,12 @@ class DataLoader:
                     yield sample
 
         def make_iter():
-            mapped = _map_iter(sharded(), transform, workers, buffer)
+            if workers > 0 and worker_type == "process":
+                mapped = _map_iter_proc(
+                    sharded(), transform, workers, buffer, seed + 3
+                )
+            else:
+                mapped = _map_iter(sharded(), transform, workers, buffer)
             return batcher(mapped)
 
         if buffer > 0:

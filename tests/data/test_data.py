@@ -283,6 +283,15 @@ def test_data_loader_end_to_end(tmp_path):
     val_batches = list(val_loader)
     assert sum(vb["y"].shape[0] for vb in val_batches) == 12
 
+    # process workers (spawned; the reference's ZMQ-worker analog) must
+    # produce the same batch structure
+    cfg.defrost()
+    cfg.data_loader.worker_type = "process"
+    cfg.freeze()
+    proc_batches = list(make_data_loader(cfg, is_train=True))
+    assert len(proc_batches) == 3
+    assert proc_batches[0]["template"].shape == (4, 64, 4)
+
 
 def test_data_loader_multi_host_sharding(tmp_path):
     """Per-host sample sharding: disjoint, exhaustive, stable lengths."""
