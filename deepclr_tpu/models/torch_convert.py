@@ -47,9 +47,16 @@ def _ordered(entries: Dict[int, np.ndarray]) -> list:
     return [entries[k] for k in sorted(entries)]
 
 
-def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict:
-    """torch DeepCLR state dict -> flax params pytree (this framework)."""
+def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"],
+                             strict: bool = False) -> Dict:
+    """torch DeepCLR state dict -> flax params pytree (this framework).
+
+    ``strict`` raises if any state-dict entry is not consumed by the name
+    map — the regression anchor against silent renames (use with
+    weight-only dicts; full checkpoints carry optimizer entries).
+    """
     params: Dict = {}
+    consumed = set()
 
     def section(d, *keys):
         for k in keys:
@@ -65,6 +72,7 @@ def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict:
         if not m:
             continue
         stage, scale, layer, kind = m.groups()
+        consumed.add(key)
         sa = section(params, "cloud_features", f"sa{stage}")
         if kind == "weight":
             sa[f"scale{scale}_w{layer}"] = _dense_from_conv(value)
@@ -82,6 +90,7 @@ def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict:
             if not m:
                 continue
             idx, kind = int(m.group(1)), m.group(2)
+            consumed.add(key)
             if kind == "weight":
                 weights[idx] = _dense_from_conv(value)
             else:
@@ -105,6 +114,8 @@ def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict:
         fill_mlp(section(params, "output", "linear"), w, b)
 
     if "_merge_layers.1.output.weight" in state_dict:
+        consumed.update(("_merge_layers.1.output.weight",
+                         "_merge_layers.1.output.bias"))
         section(params, "output")["output"] = {
             "kernel": _to_numpy(state_dict["_merge_layers.1.output.weight"]).T.copy(),
             "bias": _to_numpy(state_dict["_merge_layers.1.output.bias"]),
@@ -113,8 +124,16 @@ def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict:
     # --- learned loss weights --------------------------------------------
     for t_name, name in (("_loss_layer._sx", "sx"), ("_loss_layer._sq", "sq")):
         if t_name in state_dict:
+            consumed.add(t_name)
             section(params, "loss_module")[name] = _to_numpy(state_dict[t_name])
 
+    if strict:
+        unconsumed = sorted(set(state_dict) - consumed)
+        if unconsumed:
+            raise ValueError(
+                "unrecognized reference state-dict entries (name map out of "
+                f"date?): {unconsumed}"
+            )
     return params
 
 

@@ -2,6 +2,7 @@
 dict, validated by shape-compatibility with a freshly built model."""
 import jax
 import numpy as np
+import pytest
 
 from deepclr_tpu.models import build_model, init_params
 from deepclr_tpu.models.torch_convert import convert_torch_state_dict
@@ -114,3 +115,27 @@ def test_convert_matches_model_structure():
     pts = rng.normal(size=(1, 256, 4)).astype(np.float32)
     y, _ = model.apply({"params": params}, pts, pts)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_reference_name_manifest_and_strict_conversion():
+    """Regression anchor for the torch->flax name map: the recorded
+    manifest of reference state-dict keys (KITTI architecture, derived from
+    the reference module structure at models/deepclr.py:444-474) must be
+    exactly what the synthetic state emits, and strict conversion must
+    consume every key — a silent regex/rename break fails loudly here."""
+    import os.path as osp
+
+    manifest = osp.join(osp.dirname(__file__), "reference_state_dict_kitti.txt")
+    with open(manifest) as f:
+        expected = sorted(line.strip() for line in f if line.strip())
+
+    sd = _synthetic_torch_state(np.random.default_rng(0))
+    assert sorted(sd) == expected
+
+    params = convert_torch_state_dict(sd, strict=True)
+    assert "cloud_features" in params and "output" in params
+
+    # an unexpected entry must be rejected in strict mode
+    sd["_merge_layers.1.renamed.weight"] = np.zeros((1,), np.float32)
+    with pytest.raises(ValueError, match="unrecognized"):
+        convert_torch_state_dict(sd, strict=True)
