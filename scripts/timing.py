@@ -22,6 +22,12 @@ def timing(cfg, sequential: bool) -> None:
                                   num_points=num_points)
 
     data_loader = make_data_loader(cfg, is_train=False, batch_size=1)
+    if data_loader is None:
+        raise RuntimeError(
+            "config has no data.validation entry — timing needs clouds to "
+            "run on (use a config with a data section, e.g. the one written "
+            "into a training run directory)"
+        )
 
     for batch in data_loader:
         template = batch["template"][0][batch["template_mask"][0]]
