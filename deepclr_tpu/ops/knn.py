@@ -40,8 +40,31 @@ def knn_xla(query, points, k: int, points_mask=None):
     d2 = pairwise_sqdist(query, points)  # (B, Q, N)
     if points_mask is not None:
         d2 = jnp.where(points_mask[:, None, :], d2, _INF)
+    if k <= _SMALLK_MAX:
+        return _smallk_select(d2, k)
     neg, idx = jax.lax.top_k(-d2, k)
     return idx.astype(jnp.int32), -neg
+
+
+# k masked-argmin sweeps beat lax.top_k while the sweep count is small:
+# measured 1.28 vs 2.53 ms at (8, 1024, 1024, k=20) on v5e (exact same
+# selection, ties -> lowest index for both).  Cost grows linearly in k, so
+# large k falls back to top_k.
+_SMALLK_MAX = 32
+
+
+def _smallk_select(d2, k: int):
+    """Exact k-smallest by k argmin sweeps over a scan-carried buffer."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+
+    def body(d, _):
+        pick = jnp.argmin(d, axis=-1)
+        dist = jnp.min(d, axis=-1)
+        d = jnp.where(iota == pick[..., None], _INF, d)
+        return d, (pick.astype(jnp.int32), dist)
+
+    _, (idx, dist) = jax.lax.scan(body, d2, None, length=k)
+    return jnp.moveaxis(idx, 0, -1), jnp.moveaxis(dist, 0, -1)
 
 
 def knn(query, points, k: int, points_mask=None):
@@ -50,8 +73,8 @@ def knn(query, points, k: int, points_mask=None):
     XLA only, deliberately: a hand-written Pallas kNN (MXU-free
     per-coordinate distances + k masked-argmin sweeps) was tried and
     removed — its Mosaic compile is pathological on the current toolchain
-    (a standalone (8, 1024, 1024, k=20) build exceeds 9.5 minutes), and
-    top_k contributes only ~2 ms to the full forward at production shapes,
-    so the ceiling on any kernel win is ~1 ms.
+    (a standalone (8, 1024, 1024, k=20) build exceeds 9.5 minutes).  The
+    same sweep formulation expressed as a lax.scan compiles instantly and
+    beats top_k at the production k=20 (see _smallk_select).
     """
     return knn_xla(query, points, k, points_mask=points_mask)

@@ -1,4 +1,5 @@
 """Golden-value tests: point ops vs. O(n²) numpy reference implementations."""
+import jax
 import numpy as np
 import pytest
 
@@ -120,6 +121,28 @@ def test_ball_query_empty_ball_returns_zeros():
     new_xyz = np.zeros((1, 2, 3), np.float32)
     got = np.asarray(ops.ball_query(xyz, new_xyz, 0.5, 4))
     np.testing.assert_array_equal(got, 0)
+
+
+def test_knn_smallk_sweep_matches_topk():
+    """The k<=32 argmin-sweep path must select exactly what top_k selects
+    (same indices: both resolve ties to the lowest index)."""
+    query = _clouds(2, 64, 11)
+    points = _clouds(2, 128, 12)
+    idx_sweep, d_sweep = ops.knn(query, points, 20)  # sweep path
+    neg, idx_topk = jax.lax.top_k(-ops.pairwise_sqdist(query, points), 20)
+    np.testing.assert_array_equal(np.asarray(idx_sweep), np.asarray(idx_topk))
+    # distances recomputed in separately-jitted graphs: fusion changes rounding
+    np.testing.assert_allclose(np.asarray(d_sweep), -np.asarray(neg),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_knn_largek_fallback():
+    query = _clouds(1, 40, 13)
+    points = _clouds(1, 80, 14)
+    idx, d2 = ops.knn(query, points, 40)  # > _SMALLK_MAX -> top_k path
+    assert idx.shape == (1, 40, 40)
+    ref = np_knn(query, points, 40)
+    np.testing.assert_array_equal(np.asarray(idx), ref)
 
 
 @pytest.mark.parametrize("use_mask", [False, True])
