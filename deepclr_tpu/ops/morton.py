@@ -57,28 +57,34 @@ def morton_code(xyz, mask=None):
     return code
 
 
-def spatial_sort(xyz, features=None, mask=None):
+def spatial_sort(xyz, features=None, mask=None, return_order: bool = False):
     """Sort a padded cloud by Morton code (invalid points move to the end).
 
     One multi-operand lax.sort carries every channel through the sort
     directly — XLA's TPU sort is cheap, while the argsort + take_along_axis
     formulation pays for full-cloud gathers (measured ~4 ms per 16x16k-pt
-    batch on v5e just for the gathers).
+    batch on v5e just for the gathers).  Every operand costs a slice of the
+    sort's compare-exchange passes, so the original index channel is only
+    carried when asked for (``return_order``), and the sorted mask is
+    recovered from the key itself: invalid points carry the 0xFFFFFFFF
+    sentinel, which no real 30-bit code can equal.
 
-    Returns (xyz, features, mask, order) with the same shapes.
+    Returns (xyz, features, mask, order) with the same shapes; ``order`` is
+    None unless ``return_order`` is set.
     """
     code = morton_code(xyz, mask)
-    order0 = jax.lax.broadcasted_iota(jnp.int32, code.shape, 1)
     chans = [xyz[..., k] for k in range(3)]
     n_feat = 0 if features is None else features.shape[-1]
     chans += [features[..., k] for k in range(n_feat)]
-    if mask is not None:
-        chans.append(mask)
-    out = jax.lax.sort([code, order0, *chans], dimension=1, num_keys=1)
-    order = out[1]
-    xyz = jnp.stack(out[2:5], axis=-1)
+    if return_order:
+        chans.insert(0, jax.lax.broadcasted_iota(jnp.int32, code.shape, 1))
+    out = jax.lax.sort([code, *chans], dimension=1, num_keys=1)
+    base = 2 if return_order else 1
+    order = out[1] if return_order else None
+    xyz = jnp.stack(out[base:base + 3], axis=-1)
     features = (
-        jnp.stack(out[5:5 + n_feat], axis=-1) if features is not None else None
+        jnp.stack(out[base + 3:base + 3 + n_feat], axis=-1)
+        if features is not None else None
     )
-    mask = out[-1] if mask is not None else None
+    mask = (out[0] != jnp.uint32(0xFFFFFFFF)) if mask is not None else None
     return xyz, features, mask, order

@@ -71,10 +71,9 @@ def _make_kernel(batch: int, npoint: int, rows: int, cols: int):
                     ck = jnp.sum(jnp.where(sel, plane, 0.0))
                     dx = plane - ck
                     d2 = dx * dx if d2 is None else d2 + dx * dx
-                valid = m_ref[bi] > 0.5
-                dists = jnp.minimum(
-                    dists_ref[bi], jnp.where(valid, d2, -1.0)
-                )
+                # invalid points were pinned to -1 at init; d2 >= 0 means
+                # min() can never resurrect them, so no per-iteration mask
+                dists = jnp.minimum(dists_ref[bi], d2)
                 dists_ref[bi] = dists
                 # first (lowest-index) argmax, Mosaic-safe
                 mx = jnp.max(dists)

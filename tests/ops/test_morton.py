@@ -27,6 +27,15 @@ def test_morton_sort_moves_invalid_last_and_keeps_sets():
         )
 
 
+def test_morton_sort_return_order_is_permutation():
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(size=(1, 32, 3)).astype(np.float32)
+    sx, _, _, order = spatial_sort(jnp.asarray(xyz), return_order=True)
+    order = np.asarray(order)
+    assert sorted(order[0].tolist()) == list(range(32))
+    np.testing.assert_allclose(np.asarray(sx)[0], xyz[0][order[0]], atol=0)
+
+
 def test_morton_codes_are_spatially_local():
     # points on a line: morton order along the line must be monotone-ish;
     # check adjacent-in-code points are adjacent in space on a grid
