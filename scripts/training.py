@@ -1,12 +1,18 @@
 #!/usr/bin/env python3
 """Model training (CLI parity with reference scripts/training.py)."""
 import argparse
+import faulthandler
+import signal
 
 from deepclr_tpu.config import Mode, load_config
 from deepclr_tpu.engine import train
 
 
 def main():
+    # stall diagnosis: `kill -USR1 <pid>` dumps every thread's stack to
+    # stderr without disturbing the run (long-run jobs on relayed TPU
+    # backends can block in device fetches; this shows where)
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
     parser = argparse.ArgumentParser(description="Model training.")
     parser.add_argument("config", type=str, help="training configuration (*.yaml)")
     parser.add_argument("--ckpt", type=str, default=None,
