@@ -103,22 +103,94 @@ class MotionEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, feats0, feats1, *, train: bool = False):
-        """feats0 (template), feats1 (source): (B, P, 3+C) -> (B, P, 3+F)."""
+        """feats0 (template), feats1 (source): (B, P, 3+C) -> (B, P, 3+F).
+
+        The MLP's first layer is affine in [Δpos | f0 | f1], so it splits
+        into a per-source term A_j = x_j·Wd + f1_j·Wf + b and a per-template
+        term B_p = -c_p·Wd + f0_p·W0; the neighbor gather then moves AFTER
+        the first matmul (k·|cloud| fewer layer-1 FLOPs, no (B,P,k,Cin)
+        merged tensor).  Layer 1 runs in float32 — the split subtracts
+        large absolute coordinates (x_j·Wd - c_p·Wd), which bf16 cannot
+        cancel accurately; tail layers run in compute_dtype like the MLP
+        module they replace.  Falls back to the literal concat+MLP
+        formulation when batch_norm is on (validation-path parity).
+        """
         pd = self.point_dim
         xyz0, f0 = feats0[..., :pd], feats0[..., pd:]
-        xyz1 = feats1[..., :pd]
+        xyz1, f1 = feats1[..., :pd], feats1[..., pd:]
 
-        if self.k == 0:
-            # Global grouping: all source points for every template point.
-            p = feats1.shape[1]
-            grouped1 = jnp.broadcast_to(
-                feats1[:, None, :, :], (feats1.shape[0], feats0.shape[1], p, feats1.shape[-1])
-            )
-        else:
+        in_dim = pd + (f0.shape[-1] + f1.shape[-1] if self.append_features
+                       else f1.shape[-1])
+        mlp = MLP(
+            tuple(self.mlp),
+            batch_norm=self.batch_norm,
+            compute_dtype=self.compute_dtype,
+            name="mlp",
+        )
+        if self.batch_norm:
+            return self._naive(mlp, feats0, feats1, train=train)
+
+        if self.k > 0:
             # kNN runs on detached coordinates (reference detaches too); the
             # indices are integers so no gradient flows regardless.
             idx, _ = ops.knn(
                 jax.lax.stop_gradient(xyz0), jax.lax.stop_gradient(xyz1), self.k
+            )
+
+        # instantiate the MLP params without running it (output unused ->
+        # XLA removes the compute; the param tree stays checkpoint-identical)
+        _ = mlp(jnp.zeros((1, in_dim), jnp.float32))
+        params = mlp.variables["params"]
+        w1 = params["dense_0"]["kernel"]
+        b1 = params["dense_0"]["bias"]
+        wd = w1[:pd]
+        hp = jax.lax.Precision.HIGHEST
+        if self.append_features:
+            w0 = w1[pd:pd + f0.shape[-1]]
+            wf = w1[pd + f0.shape[-1]:]
+        else:
+            w0 = -w1[pd:]
+            wf = w1[pd:]
+        a = jnp.dot(xyz1, wd, precision=hp) + jnp.dot(f1, wf, precision=hp) + b1
+        bp = jnp.dot(f0, w0, precision=hp) - jnp.dot(xyz0, wd, precision=hp)
+
+        if self.k == 0:
+            h = jnp.maximum(a[:, None, :, :] + bp[:, :, None, :], 0.0)
+            pos_diff = xyz1[:, None, :, :] - xyz0[:, :, None, :]
+        else:
+            a_g = ops.group_points(a, idx)          # (B, P, k, H1)
+            h = jnp.maximum(a_g + bp[:, :, None, :], 0.0)
+            pos_diff = ops.group_points(xyz1, idx) - xyz0[:, :, None, :]
+
+        cd = self.compute_dtype
+        h = h.astype(cd)
+        for i in range(1, len(self.mlp)):
+            w = params[f"dense_{i}"]["kernel"].astype(cd)
+            b = params[f"dense_{i}"]["bias"].astype(cd)
+            h = jnp.maximum(jnp.dot(h, w) + b, 0.0)
+
+        if self.radius > 0.0:
+            dist = jnp.linalg.norm(pos_diff, axis=-1, keepdims=True)
+            h = jnp.where(dist >= self.radius, jnp.zeros_like(h), h)
+
+        feat = jnp.max(h, axis=-2).astype(jnp.float32)  # (B, P, F)
+        return jnp.concatenate([xyz0, feat], axis=-1)
+
+    def _naive(self, mlp, feats0, feats1, *, train: bool):
+        """Literal concat+MLP formulation (reference MotionEmbeddingBase)."""
+        pd = self.point_dim
+        xyz0, f0 = feats0[..., :pd], feats0[..., pd:]
+
+        if self.k == 0:
+            p = feats1.shape[1]
+            grouped1 = jnp.broadcast_to(
+                feats1[:, None, :, :],
+                (feats1.shape[0], feats0.shape[1], p, feats1.shape[-1]),
+            )
+        else:
+            idx, _ = ops.knn(
+                jax.lax.stop_gradient(xyz0),
+                jax.lax.stop_gradient(feats1[..., :pd]), self.k,
             )
             grouped1 = ops.group_points(feats1, idx)  # (B, P, k, 3+C)
 
@@ -133,12 +205,7 @@ class MotionEmbedding(nn.Module):
                 [pos_diff, grouped1[..., pd:] - f0[:, :, None, :]], axis=-1
             )
 
-        h = MLP(
-            tuple(self.mlp),
-            batch_norm=self.batch_norm,
-            compute_dtype=self.compute_dtype,
-            name="mlp",
-        )(merged, train=train)
+        h = mlp(merged, train=train)
 
         if self.radius > 0.0:
             dist = jnp.linalg.norm(pos_diff, axis=-1, keepdims=True)

