@@ -9,6 +9,11 @@ import argparse
 import jax
 import numpy as np
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 from deepclr_tpu.config import load_model_config
 from deepclr_tpu.models import build_model, init_params, save_weights
 from deepclr_tpu.models.torch_convert import load_torch_checkpoint

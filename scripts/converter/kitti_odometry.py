@@ -4,6 +4,11 @@
 import os
 import os.path as osp
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
 from deepclr_tpu.data.pack import PackWriter
 from deepclr_tpu.data.readers import KittiOdometryVelodyneData
 from deepclr_tpu.data.transforms import SystematicErasing

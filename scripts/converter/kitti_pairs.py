@@ -7,6 +7,11 @@ import os.path as osp
 
 import numpy as np
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
 from deepclr_tpu.data.pack import PackWriter
 from deepclr_tpu.data.readers import KittiSamplePairData
 from deepclr_tpu.data.transforms import (

@@ -4,6 +4,11 @@ baked into the source cloud (reference scripts/converter/kitti_pairs_test.py).""
 import os
 import os.path as osp
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
 from deepclr_tpu.data import DatasetType, create_input_dataflow
 from deepclr_tpu.data.pack import PackWriter
 from deepclr_tpu.data.transforms import (

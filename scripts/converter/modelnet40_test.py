@@ -5,6 +5,11 @@ transform (+-0.1 m, +-5 deg) + gaussian point noise sigma in {0.00..0.10}
 import os
 import os.path as osp
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
 from deepclr_tpu.data import DatasetType, create_input_dataflow
 from deepclr_tpu.data.pack import PackWriter
 from deepclr_tpu.data.transforms import (

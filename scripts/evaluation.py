@@ -12,6 +12,11 @@ from typing import Any, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 from deepclr_tpu.config import Config
 from deepclr_tpu.evaluation import Evaluator, MetricsContainer, load_scenario
 

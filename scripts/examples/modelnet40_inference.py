@@ -8,6 +8,11 @@ import os.path as osp
 import jax
 import numpy as np
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
 from deepclr_tpu.config import load_model_config
 from deepclr_tpu.data.transforms import (
     ApplyAugmentations,

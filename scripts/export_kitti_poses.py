@@ -9,6 +9,11 @@ import warnings
 
 import numpy as np
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 from deepclr_tpu.data.readers import KittiOdometrySequence, velo2cam
 from deepclr_tpu.evaluation import Evaluator
 

@@ -10,6 +10,11 @@ from datetime import datetime
 import numpy as np
 import yaml
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 from deepclr_tpu.data import create_input_dataflow
 from deepclr_tpu.evaluation import Evaluator, load_scenario
 from deepclr_tpu.icp import ICPAlgorithm, ICPRegistration

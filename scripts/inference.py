@@ -16,6 +16,11 @@ from datetime import datetime
 import numpy as np
 import yaml
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 from deepclr_tpu.config import load_model_config
 from deepclr_tpu.data import create_input_dataflow
 from deepclr_tpu.evaluation import Evaluator, load_scenario

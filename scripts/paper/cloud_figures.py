@@ -6,6 +6,11 @@ import argparse
 
 import numpy as np
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
 from deepclr_tpu.data import DatasetType, create_input_dataflow
 from deepclr_tpu.evaluation import Evaluator
 from deepclr_tpu.utils.pcv import PointCloudVisualizer

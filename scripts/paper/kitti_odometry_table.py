@@ -11,6 +11,11 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
 from deepclr_tpu.config import Config
 from deepclr_tpu.evaluation import Evaluator, load_scenario
 

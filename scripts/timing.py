@@ -7,6 +7,11 @@ import time
 import jax
 import numpy as np
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 from deepclr_tpu.config import Mode, load_config
 from deepclr_tpu.data import make_data_loader
 from deepclr_tpu.models import ModelInferenceHelper, build_model, init_params

@@ -4,6 +4,11 @@ import argparse
 import faulthandler
 import signal
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 from deepclr_tpu.config import Mode, load_config
 from deepclr_tpu.engine import train
 

@@ -3,6 +3,11 @@
 scripts/visualization dataflow viewers)."""
 import argparse
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
 from deepclr_tpu.data import DatasetType, create_input_dataflow
 from deepclr_tpu.utils.pcv import PointCloudVisualizer
 

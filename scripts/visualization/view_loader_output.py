@@ -6,6 +6,11 @@ import argparse
 
 import numpy as np
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
 from deepclr_tpu.config import Mode, load_config
 from deepclr_tpu.data import make_data_loader
 from deepclr_tpu.utils.pcv import PointCloudVisualizer

@@ -122,3 +122,54 @@ def test_inference_helper_sequential_matches_pairwise():
     )
     seq.reset_state()
     assert not seq.has_state()
+
+
+def _np_motion_embedding(f0, f1, idx, params, mlp_dims, radius, pd=3):
+    """Literal reference: concat [dpos | f0 | f1] -> Dense/ReLU chain ->
+    radius zeroing -> max over neighbors (reference MotionEmbeddingBase,
+    /root/reference/deepclr/models/deepclr.py:176-231)."""
+    b, p, k = idx.shape
+    g1 = np.take_along_axis(f1[:, None].repeat(p, 1),
+                            idx[..., None].astype(np.int64), axis=2)
+    pos_diff = g1[..., :pd] - f0[:, :, None, :pd]
+    f0_b = np.broadcast_to(f0[:, :, None, pd:],
+                           (b, p, k, f0.shape[-1] - pd))
+    h = np.concatenate([pos_diff, f0_b, g1[..., pd:]], axis=-1)
+    for i in range(len(mlp_dims)):
+        w = np.asarray(params[f"dense_{i}"]["kernel"])
+        bb = np.asarray(params[f"dense_{i}"]["bias"])
+        h = np.maximum(h @ w + bb, 0.0)
+    dist = np.linalg.norm(pos_diff, axis=-1, keepdims=True)
+    h = np.where(dist >= radius, 0.0, h)
+    feat = h.max(axis=-2)
+    return np.concatenate([f0[..., :pd], feat], axis=-1)
+
+
+def test_motion_embedding_matches_literal_formulation():
+    """The layer-1-split kNN path must equal the literal concat+MLP form
+    (it is the same affine map, just factored; layer 1 runs in f32)."""
+    from deepclr_tpu import ops
+
+    mlp = (16, 16, 32)
+    radius = 4.0
+    m = MotionEmbedding(mlp=mlp, k=4, radius=radius)
+    rng = np.random.default_rng(7)
+    # realistic absolute coordinates (tens of meters) to exercise the
+    # large-coordinate cancellation the f32 layer-1 exists for
+    f0 = np.concatenate([
+        rng.normal(size=(B, P, 3)).astype(np.float32) * 30.0,
+        rng.normal(size=(B, P, 8)).astype(np.float32),
+    ], axis=-1)
+    f1 = np.concatenate([
+        rng.normal(size=(B, P, 3)).astype(np.float32) * 30.0,
+        rng.normal(size=(B, P, 8)).astype(np.float32),
+    ], axis=-1)
+
+    variables = m.init(jax.random.PRNGKey(1), jnp.asarray(f0), jnp.asarray(f1))
+    out = np.asarray(m.apply(variables, jnp.asarray(f0), jnp.asarray(f1)))
+
+    idx = np.asarray(ops.knn(f0[..., :3], f1[..., :3], 4)[0])
+    ref = _np_motion_embedding(
+        f0, f1, idx, variables["params"]["mlp"], mlp, radius
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
