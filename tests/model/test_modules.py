@@ -124,17 +124,23 @@ def test_inference_helper_sequential_matches_pairwise():
     assert not seq.has_state()
 
 
-def _np_motion_embedding(f0, f1, idx, params, mlp_dims, radius, pd=3):
-    """Literal reference: concat [dpos | f0 | f1] -> Dense/ReLU chain ->
-    radius zeroing -> max over neighbors (reference MotionEmbeddingBase,
-    /root/reference/deepclr/models/deepclr.py:176-231)."""
+def _np_motion_embedding(f0, f1, idx, params, mlp_dims, radius, pd=3,
+                         append=True):
+    """Literal reference: concat [dpos | f0 | f1] (or [dpos | f1 - f0]) ->
+    Dense/ReLU chain -> radius zeroing -> max over neighbors (reference
+    MotionEmbeddingBase, /root/reference/deepclr/models/deepclr.py:176-231)."""
     b, p, k = idx.shape
     g1 = np.take_along_axis(f1[:, None].repeat(p, 1),
                             idx[..., None].astype(np.int64), axis=2)
     pos_diff = g1[..., :pd] - f0[:, :, None, :pd]
-    f0_b = np.broadcast_to(f0[:, :, None, pd:],
-                           (b, p, k, f0.shape[-1] - pd))
-    h = np.concatenate([pos_diff, f0_b, g1[..., pd:]], axis=-1)
+    if append:
+        f0_b = np.broadcast_to(f0[:, :, None, pd:],
+                               (b, p, k, f0.shape[-1] - pd))
+        h = np.concatenate([pos_diff, f0_b, g1[..., pd:]], axis=-1)
+    else:
+        h = np.concatenate(
+            [pos_diff, g1[..., pd:] - f0[:, :, None, pd:]], axis=-1
+        )
     for i in range(len(mlp_dims)):
         w = np.asarray(params[f"dense_{i}"]["kernel"])
         bb = np.asarray(params[f"dense_{i}"]["bias"])
@@ -145,14 +151,18 @@ def _np_motion_embedding(f0, f1, idx, params, mlp_dims, radius, pd=3):
     return np.concatenate([f0[..., :pd], feat], axis=-1)
 
 
-def test_motion_embedding_matches_literal_formulation():
+import pytest
+
+
+@pytest.mark.parametrize("append", [True, False])
+def test_motion_embedding_matches_literal_formulation(append):
     """The layer-1-split kNN path must equal the literal concat+MLP form
     (it is the same affine map, just factored; layer 1 runs in f32)."""
     from deepclr_tpu import ops
 
     mlp = (16, 16, 32)
     radius = 4.0
-    m = MotionEmbedding(mlp=mlp, k=4, radius=radius)
+    m = MotionEmbedding(mlp=mlp, k=4, radius=radius, append_features=append)
     rng = np.random.default_rng(7)
     # realistic absolute coordinates (tens of meters) to exercise the
     # large-coordinate cancellation the f32 layer-1 exists for
@@ -170,6 +180,6 @@ def test_motion_embedding_matches_literal_formulation():
 
     idx = np.asarray(ops.knn(f0[..., :3], f1[..., :3], 4)[0])
     ref = _np_motion_embedding(
-        f0, f1, idx, variables["params"]["mlp"], mlp, radius
+        f0, f1, idx, variables["params"]["mlp"], mlp, radius, append=append
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
