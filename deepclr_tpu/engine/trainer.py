@@ -13,6 +13,8 @@ from __future__ import annotations
 import math
 import os
 import os.path as osp
+import signal
+import threading
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -30,7 +32,41 @@ from ..solver import make_optimizer, make_schedule
 from ..utils.logging import create_logger, create_summary_writer
 from .checkpoint import Checkpointer, restore_checkpoint
 
-__all__ = ["TrainState", "make_train_step", "make_eval_step", "train", "run_trainer"]
+__all__ = ["TrainState", "make_train_step", "make_eval_step", "train", "run_trainer",
+           "shutdown_in_progress"]
+
+# Interrupt-checkpoint contract (reference trainer.py:222-231, hardened):
+# once the loop has exited — completed, interrupted, or crashed — the
+# resumable state is being (or has been) persisted, and a late SIGINT must
+# not flip the process exit status.  The event is set the moment the run
+# enters its shutdown path; the SIGINT handler installed by run_trainer
+# (and by scripts/training.py) downgrades the signal to a log line from
+# then on, closing the window between "Training completed" and process
+# exit that the raw KeyboardInterrupt contract leaves open.
+_shutdown = threading.Event()
+
+
+def shutdown_in_progress() -> bool:
+    return _shutdown.is_set()
+
+
+def _install_sigint_handler():
+    """Raise KeyboardInterrupt on SIGINT unless shutdown already started.
+
+    Returns the previous handler, or None when not on the main thread
+    (signal.signal is main-thread-only; worker-thread callers keep the
+    process handler untouched).
+    """
+    def handler(signum, frame):
+        if _shutdown.is_set():
+            print("SIGINT ignored: training state already persisted / "
+                  "shutdown in progress", flush=True)
+            return
+        raise KeyboardInterrupt
+    try:
+        return signal.signal(signal.SIGINT, handler)
+    except ValueError:  # not the main thread
+        return None
 
 
 @flax.struct.dataclass
@@ -376,6 +412,8 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
     epoch = start_epoch
     t_epoch = time.monotonic()
     n_batches_epoch = 0
+    _shutdown.clear()
+    prev_sigint = _install_sigint_handler()
     try:
         done = False
         for epoch in range(start_epoch, epochs):
@@ -427,14 +465,17 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
             if done:
                 break
 
+        _shutdown.set()  # loop done: late SIGINT must not kill the flush
         logger.info("Training completed")
-        run_validation(state)
         save_ckpt("final")
+        run_validation(state)
 
     except KeyboardInterrupt:
+        _shutdown.set()
         logger.info("KeyboardInterrupt. Stopping training.")
         save_ckpt("interrupt")
     except Exception as e:
+        _shutdown.set()
         logger.info(f"{type(e).__name__} raised:")
         logger.info(str(e))
         save_ckpt("exception")
@@ -444,5 +485,7 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
         if writer is not None:
             writer.flush()
             writer.close()
+        if prev_sigint is not None:
+            signal.signal(signal.SIGINT, prev_sigint)
 
     return state

@@ -138,10 +138,21 @@ def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"],
 
 
 def load_torch_checkpoint(path: str) -> Dict:
-    """Load a reference weights.tar / ckpt.tar and convert to flax params."""
-    import torch
+    """Load a reference weights.tar / ckpt.tar and convert to flax params.
 
-    data = torch.load(path, map_location="cpu", weights_only=False)
+    Reads the torch zipfile format directly (models/torch_io.py) — no torch
+    required; falls back to torch.load for pre-zipfile legacy archives.
+    """
+    import zipfile
+
+    if zipfile.is_zipfile(path):
+        from .torch_io import read_torch_checkpoint
+
+        data = read_torch_checkpoint(path)
+    else:  # pragma: no cover - legacy (pre-torch-1.6) pickle format
+        import torch
+
+        data = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(data, dict) and "model_state_dict" in data:
         data = data["model_state_dict"]
     return convert_torch_state_dict(data)

@@ -4,9 +4,7 @@ Sequential argmax selection with every cloud resident in VMEM — the XLA
 fallback dispatches one tiny HBM-bound step per selected point, this kernel
 keeps the running min-distance caches on-chip.
 
-Two generations share the public entry point:
-
-v4 (default, ``_fps_kernel_wide``) — cloud-per-sublane layout:
+v4 kernel (``_fps_kernel_wide``) — cloud-per-sublane layout:
 
   xyz   (3, B, N) f32   coordinate planes, cloud bi = sublane row bi
   m     (B, N)    f32   validity (0/1)
@@ -17,17 +15,13 @@ argmax, coordinate extraction of the winner) is ONE full-width VPU op over
 the (B, N) plane, with per-cloud values living in a (B, 1) column: per-cloud
 reductions are plain lane-axis reductions and broadcasts, no unrolling, no
 relayouts.  Selected indices accumulate into a (B, P) VMEM scratch via a
-one-hot column write (dynamic-store-free).  Replaces the v2 per-cloud
+one-hot column write (dynamic-store-free).  Replaced the v2 per-cloud
 unrolled body (one (128, N/128) op chain per cloud per iteration — 16x the
 op dispatches; measured 9.3 ms vs 2.6 ms for 16x16k clouds, npoint=1024).
 
-v2 (``_make_kernel``, kept for N not divisible by 128 after padding
-concerns and as a reference): per-cloud (R=128, C=N/128) planes, unrolled
-over clouds inside the fori_loop body.
-
-Both match the reference CUDA kernel's semantics (start at the first valid
+Matches the reference CUDA kernel's semantics (start at the first valid
 index, ties -> lowest index; reference extern/pointnet2.patch:306-320) and
-are bit-exact against the XLA fallback.
+is bit-exact against the XLA fallback.
 """
 from __future__ import annotations
 
@@ -40,56 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["furthest_point_sample_pallas", "fps_pallas_available"]
 
-_ROWS = 128
-_SUBLANES = 8
-
 
 def fps_pallas_available() -> bool:
     return jax.default_backend() == "tpu"
-
-
-def _make_kernel(batch: int, npoint: int, rows: int, cols: int):
-    def kernel(xyz_ref, m_ref, out_ref, dists_ref):
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-        flat_idx = row_ids * cols + col_ids
-        big = jnp.int32(rows * cols)
-
-        firsts = []
-        for bi in range(batch):
-            valid = m_ref[bi] > 0.5
-            # first pick: lowest-index valid point
-            first = jnp.min(jnp.where(valid, flat_idx, big))
-            out_ref[bi, 0] = first
-            dists_ref[bi] = jnp.where(valid, 1e10, -1.0)
-            firsts.append(first)
-
-        def body(i, lasts):
-            nxts = []
-            for bi in range(batch):
-                # coordinates of the last pick via select-reduce (dynamic
-                # lane indexing is not supported by Mosaic)
-                sel = flat_idx == lasts[bi]
-                d2 = None
-                for k in range(3):
-                    plane = xyz_ref[bi, k]
-                    ck = jnp.sum(jnp.where(sel, plane, 0.0))
-                    dx = plane - ck
-                    d2 = dx * dx if d2 is None else d2 + dx * dx
-                # invalid points were pinned to -1 at init; d2 >= 0 means
-                # min() can never resurrect them, so no per-iteration mask
-                dists = jnp.minimum(dists_ref[bi], d2)
-                dists_ref[bi] = dists
-                # first (lowest-index) argmax, Mosaic-safe
-                mx = jnp.max(dists)
-                nxt = jnp.min(jnp.where(dists == mx, flat_idx, big))
-                out_ref[bi, i] = nxt
-                nxts.append(nxt)
-            return tuple(nxts)
-
-        jax.lax.fori_loop(1, npoint, body, tuple(firsts))
-
-    return kernel
 
 
 def _fps_kernel_wide(npoint: int, n: int):
@@ -103,8 +50,11 @@ def _fps_kernel_wide(npoint: int, n: int):
 
         valid = m_ref[:, :] > 0.5
         dists_ref[:, :] = jnp.where(valid, 1e10, -1.0)
-        # first pick per cloud: lowest-index valid point
+        # first pick per cloud: lowest-index valid point; a fully-masked
+        # cloud (no valid lane) pins to 0 so consumers never see an
+        # out-of-range index
         first = jnp.min(jnp.where(valid, lane, big_i), axis=1, keepdims=True)
+        first = jnp.where(first == big_i, 0, first)
         out_ref[:, :] = jnp.where(p_iota == 0, first, 0)
 
         def body(i, last):
@@ -150,32 +100,6 @@ def _fps_pallas_wide(xyz, npoint: int, mask=None):
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],
     )(planes, m)
-
-
-@functools.partial(jax.jit, static_argnames=("npoint",))
-def _fps_pallas_v2(xyz, npoint: int, mask=None):
-    b, n, _ = xyz.shape
-    assert n % _ROWS == 0, f"N={n} must be a multiple of {_ROWS}"
-    cols = n // _ROWS
-
-    planes = jnp.transpose(xyz, (0, 2, 1)).reshape(b, 3, _ROWS, cols)
-    if mask is None:
-        m = jnp.ones((b, _ROWS, cols), jnp.float32)
-    else:
-        m = mask.astype(jnp.float32).reshape(b, _ROWS, cols)
-
-    kernel = _make_kernel(b, npoint, _ROWS, cols)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        scratch_shapes=[pltpu.VMEM((b, _ROWS, cols), jnp.float32)],
-    )(planes, m)
-    return out
 
 
 def furthest_point_sample_pallas(xyz, npoint: int, mask=None):

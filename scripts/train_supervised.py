@@ -49,14 +49,24 @@ def child_rss_gb(pid: int) -> float:
     return 0.0
 
 
-def latest_checkpoint(base_dir: str) -> str | None:
-    ckpts = glob.glob(os.path.join(base_dir, "*", "ckpt*.msgpack"))
+def experiment_dirs(base_dir: str) -> set[str]:
+    return {d for d in glob.glob(os.path.join(base_dir, "*")) if os.path.isdir(d)}
+
+
+def latest_checkpoint(base_dir: str, dirs: set[str] | None = None) -> str | None:
+    """Newest non-symlink checkpoint. ``dirs`` restricts the search to the
+    experiment directories created by this run's segments — base_dir is the
+    shared experiments root, so an unrestricted glob could resume from an
+    unrelated experiment's checkpoint (wrong-model resume)."""
+    search = sorted(dirs) if dirs is not None else [os.path.join(base_dir, "*")]
+    ckpts = [c for d in search for c in glob.glob(os.path.join(d, "ckpt*.msgpack"))]
     ckpts = [c for c in ckpts if not os.path.islink(c)]
     return max(ckpts, key=os.path.getmtime) if ckpts else None
 
 
-def finished(base_dir: str) -> bool:
-    return bool(glob.glob(os.path.join(base_dir, "*", "ckpt_final_*.msgpack")))
+def finished(base_dir: str, dirs: set[str] | None = None) -> bool:
+    search = sorted(dirs) if dirs is not None else [os.path.join(base_dir, "*")]
+    return any(glob.glob(os.path.join(d, "ckpt_final_*.msgpack")) for d in search)
 
 
 def main() -> int:
@@ -68,6 +78,9 @@ def main() -> int:
                         help="interrupt + restart the child above this RSS")
     parser.add_argument("--max-restarts", type=int, default=50)
     parser.add_argument("--poll-seconds", type=float, default=20.0)
+    parser.add_argument("--interrupt-grace-seconds", type=float, default=300.0,
+                        help="escalate SIGINT to SIGKILL if the child has "
+                             "not exited within this window")
     args = parser.parse_args()
 
     # resolve the experiment base dir once so restarts can find checkpoints
@@ -75,15 +88,24 @@ def main() -> int:
     cfg = load_config(args.config, mode, ckpt_filename=args.ckpt)
     base_dir = str(cfg.base_dir)
 
+    # only ever resume from / declare completion on experiment directories
+    # that belong to THIS run: the segments we launch (dir diff around each
+    # child) plus the directory of an explicitly given --ckpt
+    run_dirs: set[str] = set()
+    if args.ckpt:
+        run_dirs.add(os.path.dirname(os.path.abspath(args.ckpt)))
+
     ckpt = args.ckpt
     for restart in range(args.max_restarts + 1):
         cmd = [sys.executable, "-u", _TRAINING, args.config]
         if ckpt:
             cmd += ["--ckpt", ckpt]
         print(f"[supervise] segment {restart}: {' '.join(cmd)}", flush=True)
+        pre_dirs = experiment_dirs(base_dir)
         child = subprocess.Popen(cmd)
 
         interrupted = False
+        interrupt_time = 0.0
         while child.poll() is None:
             time.sleep(args.poll_seconds)
             rss = child_rss_gb(child.pid)
@@ -93,12 +115,23 @@ def main() -> int:
                       "checkpoint + restart", flush=True)
                 child.send_signal(signal.SIGINT)
                 interrupted = True
-        rc = child.returncode
+                interrupt_time = time.monotonic()
+            elif interrupted and (time.monotonic() - interrupt_time
+                                  > args.interrupt_grace_seconds):
+                # child hung in (or ignored) the interrupt-checkpoint save;
+                # kill it and resume from the last periodic checkpoint
+                print("[supervise] child ignored SIGINT for "
+                      f"{args.interrupt_grace_seconds:.0f}s: SIGKILL",
+                      flush=True)
+                child.kill()
+                break
+        rc = child.wait()
+        run_dirs |= experiment_dirs(base_dir) - pre_dirs
 
-        if rc == 0 and not interrupted and finished(base_dir):
+        if rc == 0 and not interrupted and finished(base_dir, run_dirs):
             print("[supervise] training completed", flush=True)
             return 0
-        ckpt = latest_checkpoint(base_dir)
+        ckpt = latest_checkpoint(base_dir, run_dirs)
         if ckpt is None:
             print(f"[supervise] child exited rc={rc} before any checkpoint; "
                   "giving up", flush=True)

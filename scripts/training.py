@@ -34,3 +34,10 @@ if __name__ == "__main__":
         main()
     except KeyboardInterrupt:
         print("Interrupted by user")
+    finally:
+        # The trainer persists a resumable checkpoint on interrupt and its
+        # in-loop handler absorbs SIGINT once shutdown starts
+        # (engine/trainer.py). A signal landing after that handler is
+        # restored — during writer teardown or interpreter exit — must not
+        # flip the exit status either: from here on, ignore it.
+        signal.signal(signal.SIGINT, signal.SIG_IGN)
