@@ -157,15 +157,16 @@ class DataLoader:
             shuffle=self._is_train, seed=seed,
         )
 
-    def _shard_count(self, n: int) -> int:
-        if self._num_shards <= 1:
-            return n
-        return (n - self._shard_index + self._num_shards - 1) // self._num_shards
-
     def __len__(self) -> int:
         if self._len is None:
-            n = self._shard_count(len(self._dataset(seed=0)))
-            if self._is_train:
+            n = len(self._dataset(seed=0))
+            if self._num_shards > 1:
+                # lockstep across hosts: every process must run the same
+                # number of collective steps, so all shards use the
+                # SMALLEST shard's full-batch count (shard sizes differ by
+                # at most one sample)
+                self._len = (n // self._num_shards) // self._batch_size
+            elif self._is_train:
                 self._len = n // self._batch_size  # drop remainder: stable shapes
             else:
                 bs = self._batch_size
@@ -208,10 +209,19 @@ class DataLoader:
                 mapped = _map_iter(sharded(), transform, workers, buffer)
             return batcher(mapped)
 
-        if buffer > 0:
-            yield from _Prefetcher(make_iter, buffer)
+        batches = (_Prefetcher(make_iter, buffer) if buffer > 0
+                   else make_iter())
+        if self._num_shards > 1:
+            # cap at the cross-shard common length (see __len__); within
+            # that cap every batch is full-size, keeping global array
+            # assembly shape-consistent across hosts
+            limit = len(self)
+            for i, b in enumerate(batches):
+                if i >= limit:
+                    break
+                yield b
         else:
-            yield from make_iter()
+            yield from batches
 
 
 def make_dataflow(cfg, is_train: bool, source=None, batch_size=None):

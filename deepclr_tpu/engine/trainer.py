@@ -27,7 +27,10 @@ import optax
 from ..evaluation import Evaluator
 from ..losses import make_loss_fn, make_metric_fns
 from ..models import build_model, init_params
-from ..parallel import make_mesh_for_batch, replicate_sharding, shard_batch
+from ..parallel import (
+    is_primary, make_mesh_for_batch, process_count, process_index,
+    put_replicated, shard_batch,
+)
 from ..solver import make_optimizer, make_schedule
 from ..utils.logging import create_logger, create_summary_writer
 from .checkpoint import Checkpointer, restore_checkpoint
@@ -252,8 +255,12 @@ def train(cfg) -> None:
 
     from ..data import make_data_loader
 
-    train_loader = make_data_loader(cfg, is_train=True)
-    val_loader = make_data_loader(cfg, is_train=False)
+    # multi-host: each process consumes a disjoint sample slice and feeds
+    # its local devices (per-host input pipelines, SURVEY §2.4); global
+    # batch = batch_size × process_count, assembled in shard_batch
+    shard = dict(shard_index=process_index(), num_shards=process_count())
+    train_loader = make_data_loader(cfg, is_train=True, **shard)
+    val_loader = make_data_loader(cfg, is_train=False, **shard)
 
     run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
                 schedule, loss_fn, metric_fns)
@@ -263,7 +270,12 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
                 schedule, loss_fn, metric_fns,
                 mesh=None) -> TrainState:
     """The training loop; returns the final state (for tests)."""
-    if cfg.output_dir:
+    # multi-host: experiment artifacts, file logs, tensorboard and
+    # checkpoints are written by the primary process only — secondaries
+    # would double-write the same paths (reference vestige:
+    # deepclr/utils/logging.py:10 distributed_rank)
+    primary = is_primary()
+    if cfg.output_dir and primary:
         # experiment artifacts: config snapshots + model source code copy
         # (reference trainer.py:32-36)
         os.makedirs(cfg.output_dir, exist_ok=True)
@@ -271,8 +283,10 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
         cfg.model.write_file(osp.join(cfg.output_dir, "model_config.yaml"))
         store_models_code(osp.join(cfg.output_dir, "models"))
 
-    logger = create_logger(name="train", save_dir=cfg.output_dir)
-    writer = create_summary_writer(cfg.output_dir) if cfg.output_dir else None
+    logger = create_logger(name="train", save_dir=cfg.output_dir,
+                           distributed_rank=process_index())
+    writer = (create_summary_writer(cfg.output_dir)
+              if cfg.output_dir and primary else None)
 
     log_period = cfg.logging.log_period
     summary_period = cfg.logging.summary_period
@@ -297,7 +311,9 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
         max_iterations = epochs * loader_len
 
     if mesh is None:
-        mesh = make_mesh_for_batch(batch_size)
+        # cfg batch_size is per-host; the mesh spans all hosts' devices and
+        # consumes the global batch
+        mesh = make_mesh_for_batch(batch_size * process_count())
     use_model_loss = model.loss_module is not None
 
     train_step = make_train_step(
@@ -323,10 +339,10 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
         logger.info(f"Restored checkpoint at epoch {start_epoch}, "
                     f"iteration {iteration}")
 
-    state = jax.device_put(state, replicate_sharding(mesh))
+    state = put_replicated(state, mesh)
 
     checkpointer = None
-    if cfg.output_dir:
+    if cfg.output_dir and primary:
         checkpointer = Checkpointer(
             cfg.output_dir, n_saved=cfg.logging.checkpoint_n_saved
         )
@@ -347,6 +363,13 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
         nonlocal validation_count
         if val_loader is None:
             return
+        # Multi-host: eval_step's metric means are computed over the global
+        # sharded batch and come back replicated, so the scalar validation
+        # is globally correct on every host.  The per-sample trajectory
+        # export needs the full y_pred on one host, which a DP-sharded
+        # array doesn't give us — that path stays single-host (odometry
+        # figures are an inference.py workflow on pods).
+        multihost = process_count() > 1
         eval_export = Evaluator()
         sums: Dict[str, float] = {}
         count = 0
@@ -356,6 +379,8 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             count += 1
+            if multihost:
+                continue
             y_pred_h = np.asarray(y_pred)
             y_gt_h = np.asarray(vbatch["y"])
             m_pred = np.asarray(label_type.to_matrix(y_pred_h))
@@ -379,6 +404,8 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
             return
         for k, v in means.items():
             writer.add_scalar(f"val/{k}", v, iteration)
+        if multihost:
+            return
         total_step = eval_export.get_total_step_errors()
         writer.add_scalar("val/step_t_err", total_step.mean.translation.kitti, iteration)
         writer.add_scalar("val/step_r_err", total_step.mean.rotation.kitti, iteration)

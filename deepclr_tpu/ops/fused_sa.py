@@ -42,10 +42,13 @@ from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["ball_mlp_max", "ball_mlp_max_xla", "multi_scale_bundle"]
 
-_NEG = jnp.float32(-1e30)
+# np (not jnp): a module-level jnp scalar would initialize jax backends at
+# import time, breaking late jax.distributed.initialize on pods
+_NEG = np.float32(-1e30)
 
 Radius = Union[float, Tuple[float, ...]]
 

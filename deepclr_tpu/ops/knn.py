@@ -13,12 +13,15 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .pairwise import pairwise_sqdist
 
 __all__ = ["knn", "knn_xla"]
 
-_INF = jnp.float32(jnp.finfo(jnp.float32).max)
+# np (not jnp): a module-level jnp scalar would initialize jax backends at
+# import time, breaking late jax.distributed.initialize on pods
+_INF = np.float32(np.finfo(np.float32).max)
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -1,7 +1,15 @@
+from .distributed import (
+    initialize,
+    is_primary,
+    maybe_initialize,
+    process_count,
+    process_index,
+)
 from .mesh import (
     batch_sharding,
     make_mesh,
     make_mesh_for_batch,
+    put_replicated,
     replicate_sharding,
     shard_batch,
 )
@@ -12,4 +20,10 @@ __all__ = [
     "shard_batch",
     "batch_sharding",
     "replicate_sharding",
+    "put_replicated",
+    "initialize",
+    "maybe_initialize",
+    "process_index",
+    "process_count",
+    "is_primary",
 ]

@@ -17,7 +17,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicate_sharding", "shard_batch"]
+__all__ = ["make_mesh", "batch_sharding", "replicate_sharding", "shard_batch",
+           "put_replicated"]
 
 BATCH_AXIS = "dp"
 
@@ -50,16 +51,43 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    local = {d.id for d in jax.local_devices()}
+    return any(d.id not in local for d in mesh.devices.flat)
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis: str = BATCH_AXIS) -> dict:
     """Device-put every array in a batch dict with its batch axis sharded.
 
     Non-array entries (names, timestamps kept host-side) pass through.
+    On a multi-host mesh each process holds its local slice of the global
+    batch (the loader's per-host shard); the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — no cross-host data motion.
     """
     sharding = batch_sharding(mesh, axis)
+    multihost = _spans_processes(mesh)
 
     def put(x):
         if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 1:
+            if multihost:
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)
+                )
             return jax.device_put(x, sharding)
         return x
 
     return {k: put(v) for k, v in batch.items()}
+
+
+def put_replicated(tree, mesh: Mesh):
+    """Place a host pytree fully replicated over the mesh (multi-host safe:
+    every process carries the full value, e.g. params/optimizer state)."""
+    sharding = replicate_sharding(mesh)
+    if not _spans_processes(mesh):
+        return jax.device_put(tree, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        tree,
+    )

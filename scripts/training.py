@@ -11,6 +11,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from deepclr_tpu.config import Mode, load_config
 from deepclr_tpu.engine import train
+from deepclr_tpu.parallel import maybe_initialize
 
 
 def main():
@@ -18,6 +19,10 @@ def main():
     # stderr without disturbing the run (long-run jobs on relayed TPU
     # backends can block in device fetches; this shows where)
     faulthandler.register(signal.SIGUSR1, all_threads=True)
+    # multi-host pod launch: join the jax distributed runtime when the
+    # environment asks for it (DEEPCLR_COORDINATOR / DEEPCLR_DISTRIBUTED);
+    # single-host launches pay nothing
+    maybe_initialize()
     parser = argparse.ArgumentParser(description="Model training.")
     parser.add_argument("config", type=str, help="training configuration (*.yaml)")
     parser.add_argument("--ckpt", type=str, default=None,
