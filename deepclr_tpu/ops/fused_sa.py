@@ -27,13 +27,14 @@ the ball holds <= nsample hits).  Every ball contains its own center (FPS
 picks real points), so balls are never empty.
 
 Differentiation: because the output is a max over neighbors, its gradient
-touches only the winning point per (center, output column).  On TPU the
-backward therefore (1) re-runs the Pallas kernel with argmax tracking, then
-(2) re-evaluates the MLP chain at just the B*P*H3 winning pairs (~1M rows
-at KITTI scale vs ~67M packed pairwise rows for a scan recompute) and
-scatters gradients back — an exact subgradient (ties go to the lowest
-point index instead of being split, which only matters for duplicated
-points).  Off-TPU the backward differentiates the XLA scan formulation.
+touches only the winning point per (center, output column).  Under
+differentiation the forward runs the Pallas kernel ONCE in argmax-tracking
+mode and stashes the winner indices as a residual; the backward then just
+re-evaluates the MLP chain at the B*P*H3 winning pairs (~1M rows at KITTI
+scale vs ~67M packed pairwise rows for a scan recompute) and scatters
+gradients back — an exact subgradient (ties go to the lowest point index
+instead of being split, which only matters for duplicated points).
+Off-TPU the backward differentiates the XLA scan formulation.
 """
 from __future__ import annotations
 
@@ -275,22 +276,27 @@ def ball_mlp_max(xyz, centers, weights, biases, radius: Radius,
                          radius_t, chunk, compute_dtype)
 
     def f_fwd(xyz, centers, weights, biases, features, m):
-        return f(xyz, centers, weights, biases, features, m), (
-            xyz, centers, weights, biases, features, m,
-        )
-
-    def f_bwd(res, g):
-        xyz, centers, weights, biases, features, m = res
         if use_argmax:
-            # the argmax pass re-derives winners from penalized distances,
-            # so it gets the validity mask directly
+            # run the argmax-tracking kernel ONCE here: its value output is
+            # identical to the plain kernel's, and stashing the winner
+            # indices as a residual removes the full second kernel launch
+            # the backward otherwise needs (measured: the kernel dominates
+            # the train step, so this halves its share of fwd+bwd)
             from .pallas.fused_sa_kernel import ball_mlp_max_pallas_argmax
 
-            _, jstar = ball_mlp_max_pallas_argmax(
+            out, jstar = ball_mlp_max_pallas_argmax(
                 xyz, centers, weights, biases, radius_t,
                 features=features, mask=m[..., 0] > 0.5,
                 compute_dtype=compute_dtype, interpret=not use_pallas,
             )
+            return out, (xyz, centers, weights, biases, features, m, jstar)
+        return f(xyz, centers, weights, biases, features, m), (
+            xyz, centers, weights, biases, features, m, None,
+        )
+
+    def f_bwd(res, g):
+        xyz, centers, weights, biases, features, m, jstar = res
+        if use_argmax:
             dxyz, dcenters, dweights, dbiases, dfeatures = _winner_grads(
                 xyz, centers, weights, biases, features, jstar, g
             )

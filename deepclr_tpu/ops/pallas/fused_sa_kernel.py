@@ -69,7 +69,7 @@ def _block_diag(mats):
 
 def _make_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
                  inner: int, compute_dtype, groups: int, h3: int,
-                 with_argmax: bool):
+                 with_argmax: bool, d2_mode: str = "f32"):
     slices = stream // inner
 
     def kernel(geo_ref, a_ref, act_ref, cts_ref, bc_ref, r2_ref, e2_ref,
@@ -111,12 +111,20 @@ def _make_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
             # packed coordinate diffs: [x - c | (1-m)] for all G groups;
             # squaring leaves the invalidity indicator intact (0/1)
             dx = geo_c - cts                # (tile, inner, 4G)
-            dx2 = dx * dx
-            # penalized squared distances per packed output column (MXU)
-            d2_cols = jnp.dot(
-                dx2.reshape(tile * inner, -1), e2,
-                preferred_element_type=jnp.float32,
-            ).reshape(tile, inner, gh3)
+            dx2 = (dx * dx).reshape(tile * inner, -1)
+            # penalized squared distances per packed output column (MXU).
+            # Measured (scripts/sweep_fused_sa.py): explicit bf16 here is
+            # bit-identical to the f32 matmul at identical time — the
+            # Mosaic f32 matmul already runs as bf16 MXU passes — so d2
+            # precision is not a perf lever; the knob stays for A/B only.
+            if d2_mode == "bf16":
+                d2_cols = jnp.dot(
+                    dx2.astype(jnp.bfloat16), e2.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            else:  # f32 (default)
+                d2_cols = jnp.dot(dx2, e2, preferred_element_type=jnp.float32)
+            d2_cols = d2_cols.reshape(tile, inner, gh3)
 
             # layer 1 (f32 add for fidelity) then block-diagonal MXU tail
             pre = jnp.maximum(a_c + bc, 0.0)  # (tile, inner, G*H1)
@@ -169,12 +177,13 @@ def _make_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
 @functools.partial(
     jax.jit,
     static_argnames=("radius", "center_tile", "stream", "inner",
-                     "compute_dtype", "interpret", "with_argmax"),
+                     "compute_dtype", "interpret", "with_argmax", "d2_mode"),
 )
 def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
                               features, mask, center_tile: int, stream: int,
                               inner: int, compute_dtype, interpret: bool,
-                              with_argmax: bool = False):
+                              with_argmax: bool = False,
+                              d2_mode: str = "f32"):
     b, n, _ = xyz.shape
     p = centers.shape[1]
     w1, b1 = weights[0], biases[0]
@@ -285,7 +294,7 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
         args.append(bb)
 
     kernel = _make_kernel(n_tail, n_tiles, center_tile, stream, inner,
-                          compute_dtype, groups, h3, with_argmax)
+                          compute_dtype, groups, h3, with_argmax, d2_mode)
 
     out_spec = pl.BlockSpec(
         (1, p, groups * h3), lambda bi, ni: (bi, 0, 0),
@@ -348,7 +357,8 @@ def ball_mlp_max_pallas(xyz, centers, weights, biases, radius,
                         features=None, mask=None, center_tile: int = 16,
                         stream: int = 32, inner: int = 32,
                         compute_dtype=jnp.bfloat16,
-                        interpret: bool = False, **_ignored):
+                        interpret: bool = False, d2_mode: str = "f32",
+                        **_ignored):
     """Pallas TPU implementation of ops.fused_sa.ball_mlp_max.
 
     center_tile: centers processed per unrolled kernel iteration (smaller
@@ -356,6 +366,9 @@ def ball_mlp_max_pallas(xyz, centers, weights, biases, radius,
     DMA'd per grid step (stream * G points); inner: rows per compute slice
     inside the kernel — the culling granularity, and it bounds the live
     VMEM temporaries (inner=32 keeps each body's activations ~2 MB).
+    d2_mode: distance-matmul precision for A/B only — "f32" (default) and
+    "bf16" are measured bit-identical at identical time on TPU (sweep:
+    scripts/sweep_fused_sa.py).
     """
     center_tile, stream, inner = _tile_sizes(
         xyz, centers, weights, center_tile, stream, inner
@@ -363,6 +376,7 @@ def ball_mlp_max_pallas(xyz, centers, weights, biases, radius,
     return _ball_mlp_max_pallas_impl(
         xyz, centers, tuple(weights), tuple(biases), radius, features, mask,
         center_tile, stream, inner, compute_dtype, interpret,
+        d2_mode=d2_mode,
     )
 
 
@@ -370,7 +384,8 @@ def ball_mlp_max_pallas_argmax(xyz, centers, weights, biases, radius,
                                features=None, mask=None,
                                center_tile: int = 16, stream: int = 32,
                                inner: int = 32, compute_dtype=jnp.bfloat16,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               d2_mode: str = "f32"):
     """Like ball_mlp_max_pallas, but also returns the flat winner index per
     (center, output column): (out (B,P,H3) f32, jstar (B,P,H3) i32, -1 for
     empty balls).  Used by the argmax-based backward pass (ops/fused_sa.py),
@@ -381,5 +396,5 @@ def ball_mlp_max_pallas_argmax(xyz, centers, weights, biases, radius,
     return _ball_mlp_max_pallas_impl(
         xyz, centers, tuple(weights), tuple(biases), radius, features, mask,
         center_tile, stream, inner, compute_dtype, interpret,
-        with_argmax=True,
+        with_argmax=True, d2_mode=d2_mode,
     )
