@@ -59,11 +59,22 @@ def main():
     dt = time.perf_counter() - t0
 
     pairs_per_sec = batch * iters / dt
+
+    from deepclr_tpu.utils.flops import (
+        mfu, model_flops_per_pair, peak_flops_per_chip,
+    )
     print(json.dumps({
         "metric": "kitti_16k_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC_PER_CHIP, 3),
+        # algorithmic-FLOPs utilization: delivered useful FLOP/s over the
+        # chip's dense bf16 peak (deepclr_tpu/utils/flops.py; executed
+        # FLOPs are higher — see docs/roofline.md)
+        "mfu": round(mfu(pairs_per_sec, KITTI_MODEL_CFG, n), 4),
+        "gflops_per_pair": round(
+            model_flops_per_pair(KITTI_MODEL_CFG, n) / 1e9, 2),
+        "peak_tflops": round(peak_flops_per_chip() / 1e12, 1),
     }))
 
 

@@ -163,6 +163,60 @@ def main():
           f"(vs full {results['full_forward']:.2f})")
     print(f"pairs/s (full): {b / (results['full_forward'] / 1e3):.1f}")
 
+    # ---- roofline: algorithmic + executed FLOP rates --------------------
+    from deepclr_tpu.utils.flops import (
+        model_flops_per_pair, peak_flops_per_chip,
+    )
+
+    peak = peak_flops_per_chip()
+    pairs_per_sec = b / (results["full_forward"] / 1e3)
+    algo = model_flops_per_pair(KITTI_MODEL_CFG, n)
+    print("\n=== roofline ===")
+    print(f"algorithmic: {algo / 1e9:.2f} GFLOP/pair -> "
+          f"{pairs_per_sec * algo / 1e12:.2f} TFLOP/s delivered, "
+          f"MFU {pairs_per_sec * algo / peak * 100:.2f}% of "
+          f"{peak / 1e12:.0f} TFLOP/s peak")
+
+    # executed FLOPs in the fused SA kernel: measured AABB-culling activity
+    # x per-visit MAC count (mirrors ops/pallas/fused_sa_kernel.py)
+    weights, biases, radius_cols = multi_scale_bundle(
+        scale_weights, scale_biases, radii)
+    h1 = int(weights[0].shape[1])
+    groups = max(1, 128 // h1)
+    tile, stream, inner = 16, 32, 32
+    np_rows = n // groups
+    n_sub = np_rows // inner
+    p = centers_s.shape[1]
+    n_tiles = p // tile
+    r2_max = max(radius_cols) ** 2
+
+    def active_frac(xyz_s, centers_s):
+        pts_sub = xyz_s.reshape(2 * b, n_sub, inner * groups, 3)
+        s_lo = jnp.min(pts_sub, axis=2)
+        s_hi = jnp.max(pts_sub, axis=2)
+        c_tiles = centers_s.reshape(2 * b, n_tiles, tile, 3)
+        t_lo = jnp.min(c_tiles, axis=2)
+        t_hi = jnp.max(c_tiles, axis=2)
+        gap = jnp.maximum(
+            jnp.maximum(s_lo[:, :, None, :] - t_hi[:, None, :, :],
+                        t_lo[:, None, :, :] - s_hi[:, :, None, :]), 0.0)
+        return jnp.mean((jnp.sum(gap * gap, -1) < r2_max).astype(jnp.float32))
+
+    frac = float(jax.jit(active_frac)(xyz_s, centers_s))
+    rows = tile * inner
+    per_visit = rows * (groups * 4) * (groups * weights[-1].shape[-1])
+    hdims = [w.shape for w in weights[1:]]
+    for wshape in hdims:
+        per_visit += rows * (groups * wshape[0]) * (groups * wshape[1])
+    visits = 2 * b * n_sub * n_tiles * frac
+    executed = 2.0 * per_visit * visits
+    t_sa = results["fused_sa_2B"] / 1e3
+    print(f"fused SA executed: active {frac * 100:.1f}% of "
+          f"{n_sub}x{n_tiles} visits/cloud, "
+          f"{executed / 1e12:.3f} TFLOP/2B-batch -> "
+          f"{executed / t_sa / 1e12:.1f} TFLOP/s in-kernel "
+          f"({executed / t_sa / peak * 100:.1f}% of peak)")
+
 
 if __name__ == "__main__":
     main()
