@@ -8,7 +8,6 @@ f32-d2 baseline.  Honest host-fetch sync (scalar reduce inside jit).
 Usage: python scripts/sweep_fused_sa.py [--n 16384] [--batch 16]
 """
 import argparse
-import itertools
 import sys
 import time
 from pathlib import Path

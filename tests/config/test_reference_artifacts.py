@@ -8,7 +8,6 @@ mirrored scenario yamls must load through ``load_scenario``.  This module
 turns the judge's hand-verification of round 2 into a test, so a config
 schema refactor can't silently break the contract.
 """
-import os
 from pathlib import Path
 
 import jax
