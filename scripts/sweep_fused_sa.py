@@ -95,11 +95,12 @@ def main():
     print(f"{'variant':>32}: {'ms':>8}  max|dev|")
     print(f"{'f32 d2, t16/s32/i32 (base)':>32}: {ref_ms:8.2f}  0")
 
-    variants = []
-    for mode in ("split", "bf16"):
-        variants.append((mode, 16, 32, 32))
-    for tile, inner in ((16, 16), (8, 32), (8, 16), (32, 32)):
-        variants.append(("split", tile, 32, inner))
+    variants = [("bf16", 16, 32, 32)]
+    # tile-shape axis under the (default) f32 d2 mode — the original sweep's
+    # tile readings were confounded by the since-removed "split" mode
+    for tile, stream, inner in ((32, 32, 32), (8, 32, 32), (16, 64, 64),
+                                (16, 64, 32), (32, 64, 64), (16, 32, 16)):
+        variants.append(("f32", tile, stream, inner))
 
     for mode, tile, stream, inner in variants:
         fn = make(mode, tile, stream, inner)
