@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "ball_mlp_max_pallas",
     "ball_mlp_max_pallas_argmax",
+    "block_min_d2_pallas",
     "pallas_available",
 ]
 
@@ -65,6 +66,71 @@ def _block_diag(mats):
         r += m.shape[0]
         c += m.shape[1]
     return out
+
+
+def _min_d2_kernel(chunk: int, sub_per_step: int):
+    """Per-(sub-chunk, center) min squared distance — culling pre-pass.
+
+    Grid (B, n_sub // sub_per_step).  Each step loads sub_per_step point
+    chunks of ``chunk`` points and the resident (4, P) center columns
+    [cx; cy; cz; 0], and writes the min over each chunk's points of
+    (x-c)² + BIG·invalid for every center: out block (1, sub_per_step, P).
+
+    Pure VPU: the dx² form keeps the error *relative to d²* (the expanded
+    x²+c²-2xc form loses ~|x|²·eps to cancellation, which is why the XLA
+    formulations need precision="highest" and 2-6x the time), and nothing
+    pairwise ever touches HBM — the (chunk, P) temporaries live and die in
+    VMEM.  ~8 VPU ops per pair; the (N, P) matrix never materializes.
+    """
+
+    def kernel(pts_ref, cts_ref, out_ref):
+        for s in range(sub_per_step):
+            lo = s * chunk
+            d2 = None
+            for k in range(3):
+                xk = pts_ref[0, lo:lo + chunk, k:k + 1]   # (chunk, 1)
+                ck = cts_ref[0, k:k + 1, :]               # (1, P)
+                dx = xk - ck
+                d2 = dx * dx if d2 is None else d2 + dx * dx
+            d2 = d2 + pts_ref[0, lo:lo + chunk, 3:4]      # BIG·invalid
+            out_ref[0, s, :] = jnp.min(d2, axis=0)
+
+    return kernel
+
+
+def block_min_d2_pallas(xyz, inval_big, centers, chunk: int,
+                        interpret: bool = False):
+    """min over each chunk of ``chunk`` consecutive points of the squared
+    distance to every center: (B, N, 3), (B, N) [BIG·invalid], (B, P, 3)
+    -> (B, N // chunk, P) float32."""
+    b, n, _ = xyz.shape
+    p = centers.shape[1]
+    n_sub = n // chunk
+    sub_per_step = 8
+    while n_sub % sub_per_step:
+        sub_per_step //= 2
+    pts = jnp.concatenate([xyz, inval_big[..., None]], axis=-1)  # (B, N, 4)
+    cts = jnp.concatenate(
+        [centers, jnp.zeros((b, p, 1), jnp.float32)], axis=-1
+    ).transpose(0, 2, 1)                                          # (B, 4, P)
+
+    grid = (b, n_sub // sub_per_step)
+    return pl.pallas_call(
+        _min_d2_kernel(chunk, sub_per_step),
+        out_shape=jax.ShapeDtypeStruct((b, n_sub, p), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, sub_per_step * chunk, 4),
+                         lambda bi, si: (bi, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, p), lambda bi, si: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, sub_per_step, p),
+                               lambda bi, si: (bi, si, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(pts, cts)
 
 
 def _make_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
@@ -177,13 +243,14 @@ def _make_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
 @functools.partial(
     jax.jit,
     static_argnames=("radius", "center_tile", "stream", "inner",
-                     "compute_dtype", "interpret", "with_argmax", "d2_mode"),
+                     "compute_dtype", "interpret", "with_argmax", "d2_mode",
+                     "cull"),
 )
 def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
                               features, mask, center_tile: int, stream: int,
                               inner: int, compute_dtype, interpret: bool,
                               with_argmax: bool = False,
-                              d2_mode: str = "f32"):
+                              d2_mode: str = "f32", cull: str = "exact"):
     b, n, _ = xyz.shape
     p = centers.shape[1]
     w1, b1 = weights[0], biases[0]
@@ -224,27 +291,43 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
     # geometry block: per group [x, y, z, invalid]  -> (B, N/G, 4G)
     geo = jnp.concatenate([xyz, inval], axis=-1).reshape(b, np_rows, groups * 4)
 
-    # --- host-side AABB culling bitmap ----------------------------------
-    # sub-chunk boxes over *valid* points (rows [s·inner, (s+1)·inner) cover
-    # points [s·inner·G, (s+1)·inner·G)); all-invalid chunks get an empty
-    # box that always culls
+    # --- host-side culling bitmap ---------------------------------------
+    # a (sub-chunk x center-tile) visit is skipped when NO pair in it can
+    # be in-radius; sub-chunk s covers points [s·inner·G, (s+1)·inner·G)
     n_sub = np_rows // inner
     n_tiles = p // center_tile
-    pts_sub = xyz.reshape(b, n_sub, inner * groups, 3)
-    valid_sub = (inval < 0.5).reshape(b, n_sub, inner * groups, 1)
-    s_lo = jnp.min(jnp.where(valid_sub, pts_sub, jnp.inf), axis=2)
-    s_hi = jnp.max(jnp.where(valid_sub, pts_sub, -jnp.inf), axis=2)
-    c_tiles = centers.reshape(b, n_tiles, center_tile, 3)
-    t_lo = jnp.min(c_tiles, axis=2)
-    t_hi = jnp.max(c_tiles, axis=2)
-    gap = jnp.maximum(
-        jnp.maximum(
-            s_lo[:, :, None, :] - t_hi[:, None, :, :],
-            t_lo[:, None, :, :] - s_hi[:, :, None, :],
-        ),
-        0.0,
-    )
-    d2_lb = jnp.sum(gap * gap, axis=-1)           # (B, n_sub, n_tiles)
+    if cull == "exact":
+        # exact necessity: min pairwise d² per block via the tiny VPU
+        # pre-pass kernel (block_min_d2_pallas) + a lane-group min.
+        # Offline study (cubic Morton, KITTI-like clouds): AABB boxes
+        # overshoot ~3x — 16.9% of visits survive the box test but only
+        # 5.8% actually hold an in-radius pair.  The pre-pass uses the
+        # same dx² form as the main kernel, so the only cross-boundary
+        # disagreement is the main kernel's bf16 e2-matmul rounding
+        # (~0.4% relative) — covered by the threshold margin below.
+        d2_sub = block_min_d2_pallas(
+            xyz, _BIG * inval[..., 0], centers, inner * groups,
+            interpret=interpret,
+        )                                          # (B, n_sub, P)
+        d2_lb = jnp.min(
+            d2_sub.reshape(b, n_sub, n_tiles, center_tile), axis=3
+        ) * (1.0 - 1e-2) - 1e-3                    # (B, n_sub, n_tiles)
+    else:  # "aabb": box-distance lower bound (no N x P pre-pass)
+        pts_sub = xyz.reshape(b, n_sub, inner * groups, 3)
+        valid_sub = (inval < 0.5).reshape(b, n_sub, inner * groups, 1)
+        s_lo = jnp.min(jnp.where(valid_sub, pts_sub, jnp.inf), axis=2)
+        s_hi = jnp.max(jnp.where(valid_sub, pts_sub, -jnp.inf), axis=2)
+        c_tiles = centers.reshape(b, n_tiles, center_tile, 3)
+        t_lo = jnp.min(c_tiles, axis=2)
+        t_hi = jnp.max(c_tiles, axis=2)
+        gap = jnp.maximum(
+            jnp.maximum(
+                s_lo[:, :, None, :] - t_hi[:, None, :, :],
+                t_lo[:, None, :, :] - s_hi[:, :, None, :],
+            ),
+            0.0,
+        )
+        d2_lb = jnp.sum(gap * gap, axis=-1)       # (B, n_sub, n_tiles)
     # (B, n_tiles, n_sub): whole per-cloud bitmap resident in SMEM, indexed
     # [t, ni] (SMEM blocks need full trailing dims; dynamic scalar reads ok)
     active = (d2_lb < r2_max).astype(jnp.int32).transpose(0, 2, 1)
@@ -358,7 +441,7 @@ def ball_mlp_max_pallas(xyz, centers, weights, biases, radius,
                         stream: int = 32, inner: int = 32,
                         compute_dtype=jnp.bfloat16,
                         interpret: bool = False, d2_mode: str = "f32",
-                        **_ignored):
+                        cull: str = "exact", **_ignored):
     """Pallas TPU implementation of ops.fused_sa.ball_mlp_max.
 
     center_tile: centers processed per unrolled kernel iteration (smaller
@@ -369,6 +452,9 @@ def ball_mlp_max_pallas(xyz, centers, weights, biases, radius,
     d2_mode: distance-matmul precision for A/B only — "f32" (default) and
     "bf16" are measured bit-identical at identical time on TPU (sweep:
     scripts/sweep_fused_sa.py).
+    cull: "exact" (default) computes the per-visit min pairwise distance
+    in an XLA pre-pass and skips every unnecessary visit; "aabb" uses the
+    box-distance lower bound (A/B only — strictly more visits).
     """
     center_tile, stream, inner = _tile_sizes(
         xyz, centers, weights, center_tile, stream, inner
@@ -376,7 +462,7 @@ def ball_mlp_max_pallas(xyz, centers, weights, biases, radius,
     return _ball_mlp_max_pallas_impl(
         xyz, centers, tuple(weights), tuple(biases), radius, features, mask,
         center_tile, stream, inner, compute_dtype, interpret,
-        d2_mode=d2_mode,
+        d2_mode=d2_mode, cull=cull,
     )
 
 
@@ -385,7 +471,7 @@ def ball_mlp_max_pallas_argmax(xyz, centers, weights, biases, radius,
                                center_tile: int = 16, stream: int = 32,
                                inner: int = 32, compute_dtype=jnp.bfloat16,
                                interpret: bool = False,
-                               d2_mode: str = "f32"):
+                               d2_mode: str = "f32", cull: str = "exact"):
     """Like ball_mlp_max_pallas, but also returns the flat winner index per
     (center, output column): (out (B,P,H3) f32, jstar (B,P,H3) i32, -1 for
     empty balls).  Used by the argmax-based backward pass (ops/fused_sa.py),
@@ -396,5 +482,5 @@ def ball_mlp_max_pallas_argmax(xyz, centers, weights, biases, radius,
     return _ball_mlp_max_pallas_impl(
         xyz, centers, tuple(weights), tuple(biases), radius, features, mask,
         center_tile, stream, inner, compute_dtype, interpret,
-        with_argmax=True, d2_mode=d2_mode,
+        with_argmax=True, d2_mode=d2_mode, cull=cull,
     )

@@ -83,9 +83,13 @@ def main():
     results["forward"] = timeit(jax.jit(fwd), variables["params"],
                                 template, source, iters=args.iters)
 
-    # value_and_grad of the loss (no optimizer)
-    vg = jax.jit(lambda p, t, s: jax.tree_util.tree_map(
-        jnp.sum, jax.value_and_grad(fwd)(p, t, s)[1]))
+    # value_and_grad of the loss (no optimizer).  Reduce the grads to ONE
+    # scalar output: returning a pytree of per-leaf sums (~200 buffers)
+    # costs ~95 ms of pure per-output dispatch overhead through this
+    # container's relayed TPU client and masks the real kernel time.
+    vg = jax.jit(lambda p, t, s: sum(
+        jnp.sum(g) for g in
+        jax.tree_util.tree_leaves(jax.value_and_grad(fwd)(p, t, s)[1])))
     results["fwd+bwd (grads)"] = timeit(vg, variables["params"],
                                         template, source, iters=args.iters)
 
