@@ -22,20 +22,31 @@ import numpy as np
 
 from ..geometry import LabelType
 from ..geometry.hostmath import label_from_matrix_np
+from ..ops.morton import morton_argsort_np
 
 __all__ = ["pad_points", "BatchBuilder", "batch_samples"]
 
 
 def pad_points(cloud: np.ndarray, num_points: int,
-               rng: Optional[np.random.Generator] = None):
-    """Pad with zeros+mask or uniformly subsample to exactly num_points."""
+               rng: Optional[np.random.Generator] = None,
+               morton: bool = False):
+    """Pad with zeros+mask or uniformly subsample to exactly num_points.
+
+    ``morton=True`` additionally sorts the valid points by host Morton code
+    (zero padding stays at the end = invalid-last, the same contract as the
+    device ``spatial_sort``) so a model built with ``presorted: true`` can
+    skip its on-device stage-0 sort.  Set semantics are order-invariant,
+    so this never changes results — only kernel culling efficiency.
+    """
     n = cloud.shape[0]
-    if n == num_points:
-        return cloud.astype(np.float32, copy=False), np.ones(num_points, bool)
     if n > num_points:
         rng = rng or np.random.default_rng()
         sel = rng.choice(n, size=num_points, replace=False)
-        return cloud[sel].astype(np.float32, copy=False), np.ones(num_points, bool)
+        cloud, n = cloud[sel], num_points
+    if morton and n > 1:
+        cloud = cloud[morton_argsort_np(cloud)]
+    if n == num_points:
+        return cloud.astype(np.float32, copy=False), np.ones(num_points, bool)
     out = np.zeros((num_points, cloud.shape[1]), np.float32)
     out[:n] = cloud
     mask = np.zeros(num_points, bool)
@@ -44,7 +55,8 @@ def pad_points(cloud: np.ndarray, num_points: int,
 
 
 def batch_samples(samples: List[Dict], label_type: LabelType, num_points: int,
-                  rng: Optional[np.random.Generator] = None) -> Dict:
+                  rng: Optional[np.random.Generator] = None,
+                  morton: bool = False) -> Dict:
     """Aggregate unified pair samples into one fixed-shape batch dict."""
     rng = rng or np.random.default_rng()
     b = len(samples)
@@ -61,8 +73,10 @@ def batch_samples(samples: List[Dict], label_type: LabelType, num_points: int,
     stamps = np.zeros((b, 2), np.float64)
 
     for i, s in enumerate(samples):
-        template[i], template_mask[i] = pad_points(s["clouds"][0], num_points, rng)
-        source[i], source_mask[i] = pad_points(s["clouds"][1], num_points, rng)
+        template[i], template_mask[i] = pad_points(
+            s["clouds"][0], num_points, rng, morton=morton)
+        source[i], source_mask[i] = pad_points(
+            s["clouds"][1], num_points, rng, morton=morton)
         if s["augmentations"][0] is not None:
             aug_template[i] = s["augmentations"][0]
         if s["augmentations"][1] is not None:
@@ -91,11 +105,12 @@ class BatchBuilder:
     ``remainder=False``)."""
 
     def __init__(self, batch_size: int, label_type: LabelType, num_points: int,
-                 remainder: bool = True, seed: int = 0):
+                 remainder: bool = True, seed: int = 0, morton: bool = False):
         self.batch_size = int(batch_size)
         self.label_type = label_type
         self.num_points = int(num_points)
         self.remainder = remainder
+        self.morton = morton
         self._rng = np.random.default_rng(seed)
 
     def __call__(self, samples: Iterator[Dict]) -> Iterator[Dict]:
@@ -103,7 +118,9 @@ class BatchBuilder:
         for s in samples:
             holder.append(s)
             if len(holder) == self.batch_size:
-                yield batch_samples(holder, self.label_type, self.num_points, self._rng)
+                yield batch_samples(holder, self.label_type, self.num_points, self._rng,
+                                    morton=self.morton)
                 holder = []
         if self.remainder and holder:
-            yield batch_samples(holder, self.label_type, self.num_points, self._rng)
+            yield batch_samples(holder, self.label_type, self.num_points,
+                                self._rng, morton=self.morton)

@@ -34,6 +34,20 @@ __all__ = ["DataLoader", "make_dataflow", "make_data_loader"]
 DEFAULT_NUM_POINTS = 16384
 
 
+def _model_presorted(cfg) -> bool:
+    """model.params.presorted — the host pipeline Morton-sorts each cloud
+    exactly when the model is configured to skip its on-device stage-0
+    sort (models/pointnet2.py SetAbstractionMSG.presorted)."""
+    params = getattr(getattr(cfg, "model", None), "params", None)
+    if params is None:
+        return False
+    if hasattr(params, "to_dict"):
+        params = params.to_dict()
+    if isinstance(params, dict):
+        return bool(params.get("presorted", False))
+    return bool(getattr(params, "presorted", False))
+
+
 def _map_iter(it: Iterator, fn: Callable, workers: int, buffer: int) -> Iterator:
     """Map fn over an iterator with a thread pool, preserving order."""
     if workers <= 0:
@@ -187,6 +201,7 @@ class DataLoader:
             self._num_points,
             remainder=not self._is_train,
             seed=seed + 2,
+            morton=_model_presorted(self._cfg),
         )
         workers = self._cfg.data_loader.num_workers if self._is_train else 0
         buffer = self._cfg.data_loader.buffer_size

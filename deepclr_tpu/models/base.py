@@ -17,23 +17,29 @@ import jax
 import numpy as np
 
 from .deepclr import DeepCLR
+from ..ops.morton import morton_argsort_np
 
 __all__ = ["ModelInferenceHelper", "pad_cloud"]
 
 
-def pad_cloud(points: np.ndarray, num_points: int, rng: Optional[np.random.Generator] = None):
+def pad_cloud(points: np.ndarray, num_points: int,
+              rng: Optional[np.random.Generator] = None,
+              morton: bool = False):
     """Pad (with zeros + mask) or subsample a cloud to exactly num_points.
 
     Returns (points (num_points, D) float32, mask (num_points,) bool).
     Subsampling is uniform-random like the reference's stack()
-    (models/base.py:122-136).
+    (models/base.py:122-136).  ``morton=True`` Morton-sorts the valid
+    points on the host (see data/batching.py pad_points).
     """
     n, d = points.shape
-    if n >= num_points:
-        if n > num_points:
-            rng = rng or np.random.default_rng(0)
-            sel = rng.choice(n, size=num_points, replace=False)
-            points = points[sel]
+    if n > num_points:
+        rng = rng or np.random.default_rng(0)
+        sel = rng.choice(n, size=num_points, replace=False)
+        points, n = points[sel], num_points
+    if morton and n > 1:
+        points = points[morton_argsort_np(points)]
+    if n == num_points:
         return points.astype(np.float32), np.ones(num_points, bool)
     out = np.zeros((num_points, d), np.float32)
     out[:n] = points
@@ -54,6 +60,9 @@ class ModelInferenceHelper:
         self._num_points = num_points
         self._state = None
         self._rng = np.random.default_rng(seed)
+        # model built with presorted=True -> sort on host at pad time
+        # (models/pointnet2.py SetAbstractionMSG.presorted)
+        self._morton = bool(getattr(model.cloud_features, "presorted", False))
 
         self._encode = jax.jit(
             lambda v, pts, mask: model.apply(v, pts, mask, method=DeepCLR.encode)
@@ -79,7 +88,8 @@ class ModelInferenceHelper:
     def encode_cloud(self, cloud: np.ndarray):
         """Encode one raw cloud (N, D) -> (1, P, 3+C) device features."""
         cloud = self._check_dim(np.asarray(cloud), "cloud")
-        pts, mask = pad_cloud(cloud, self._num_points, self._rng)
+        pts, mask = pad_cloud(cloud, self._num_points, self._rng,
+                              morton=self._morton)
         return self._encode(self._variables, pts[None], mask[None])
 
     def predict(self, source: np.ndarray,

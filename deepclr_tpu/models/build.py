@@ -103,6 +103,7 @@ def build_model(model_cfg) -> DeepCLR:
         raise NotImplementedError(cf["name"])
     cloud_features = SetAbstraction(
         fused=bool(params.get("fused", True)),
+        presorted=bool(params.get("presorted", False)),
         **cf.get("params", {}), **common,
     )
 

@@ -55,6 +55,7 @@ class SetAbstraction(nn.Module):
     batch_norm: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     fused: bool = True
+    presorted: bool = False  # stage-0 input Morton-ordered by the host pipeline
 
     @nn.compact
     def __call__(self, points, mask=None, *, train: bool = False):
@@ -75,6 +76,8 @@ class SetAbstraction(nn.Module):
                 batch_norm=self.batch_norm,
                 compute_dtype=self.compute_dtype,
                 fused=self.fused,
+                # later stages consume FPS centers, which are never host-ordered
+                presorted=self.presorted and stage == 0,
                 name=f"sa{stage}",
             )(xyz, features, mask=mask, train=train)
             # After the first stage every center is a real (possibly

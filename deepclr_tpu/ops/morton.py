@@ -11,8 +11,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["morton_code", "spatial_sort"]
+__all__ = ["morton_code", "spatial_sort", "morton_argsort_np"]
 
 _BITS = 10  # 10 bits per axis -> 30-bit codes, 1024 cells per axis
 
@@ -55,6 +56,29 @@ def morton_code(xyz, mask=None):
     if mask is not None:
         code = jnp.where(mask, code, jnp.uint32(0xFFFFFFFF))
     return code
+
+
+def morton_argsort_np(xyz: np.ndarray) -> np.ndarray:
+    """Host (numpy) Morton argsort of one un-padded cloud: (N, >=3) -> (N,).
+
+    The host data pipeline sorts each cloud once at batch-assembly time
+    (data/batching.py) so the device forward can skip its own
+    ``spatial_sort`` (model param ``presorted``).  Locality — the only
+    thing the fused-SA kernel's block culling needs — survives the rigid
+    on-device augmentations, so host order is as good as a device re-sort.
+    Same cubic-cell quantization as ``morton_code``; numpy uint32 shifts
+    wrap exactly like the XLA ones.
+    """
+    q = xyz[:, :3].astype(np.float64)
+    lo = q.min(axis=0)
+    scale = (2 ** _BITS - 1) / max(float((q.max(axis=0) - lo).max()), 1e-6)
+    v = np.clip((q - lo) * scale, 0, 2 ** _BITS - 1).astype(np.uint32)
+    v = (v | (v << np.uint32(16))) & np.uint32(0x030000FF)
+    v = (v | (v << np.uint32(8))) & np.uint32(0x0300F00F)
+    v = (v | (v << np.uint32(4))) & np.uint32(0x030C30C3)
+    v = (v | (v << np.uint32(2))) & np.uint32(0x09249249)
+    code = (v[:, 0] << np.uint32(2)) | (v[:, 1] << np.uint32(1)) | v[:, 2]
+    return np.argsort(code, kind="stable")
 
 
 def spatial_sort(xyz, features=None, mask=None, return_order: bool = False):

@@ -88,12 +88,18 @@ def ensure_trained(env, args, log):
                               / f"{args.sequences[-1]}.pack"),
         },
         "optimizer": {"max_iterations": steps},
+        # scheduler.params is one leaf dict param: overriding it REPLACES
+        # the extends-base dict, so carry the full reference recipe here
         "scheduler": {"params": {
             "cyclic_iterations": int(steps * 0.75),
             "flat_iterations": int(steps * 0.125),
             "annealing_iterations": steps - int(steps * 0.75)
                                     - int(steps * 0.125),
             "step_size_up": max(1, int(steps * 0.75) // 12),
+            "base_lr": 1e-7,
+            "max_lr": 5e-4,
+            "mode": "triangular",
+            "cycle_momentum": False,
         }},
         "logging": {"checkpoint_period": max(500, steps // 4),
                     "validation_period": max(500, steps // 4)},

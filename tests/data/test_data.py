@@ -329,3 +329,38 @@ def test_data_loader_multi_host_sharding(tmp_path):
     assert not (stamps[0] & stamps[2])
     total = sum(len(s) for s in stamps)
     assert total == 24
+
+
+def test_data_loader_presorted_batches(tmp_path):
+    """model.params.presorted drives host Morton sorting in the batcher:
+    every valid cloud prefix comes out in Morton order."""
+    from deepclr_tpu.config import Mode, create_default_config, finish_config
+    from deepclr_tpu.data import make_data_loader
+    from deepclr_tpu.ops.morton import morton_argsort_np
+
+    _write_sequence_pack(tmp_path / "00.pack", n_frames=9)
+
+    cfg = create_default_config(Mode.TEST)
+    cfg.read_dict({
+        "base_dir": str(tmp_path),
+        "data": {
+            "training": str(tmp_path / "00.pack"),
+            "validation": str(tmp_path / "00.pack"),
+            "dataset_type": "kitti_odometry_velodyne",
+            "sequential": True,
+        },
+        "data_loader": {"batch_size": 4, "num_points": 64, "num_workers": 0},
+        "model": {"input_dim": 4, "point_dim": 3,
+                  "label_type": "pose3d_dual_quat", "model_type": "deepclr",
+                  "params": {"presorted": True}},
+        "optimizer": {"max_iterations": 10},
+    })
+    finish_config(cfg)
+
+    batch = next(iter(make_data_loader(cfg, is_train=True)))
+    for key, mkey in (("template", "template_mask"), ("source", "source_mask")):
+        for cloud, mask in zip(batch[key], batch[mkey]):
+            valid = cloud[mask]
+            if len(valid) > 1:
+                order = morton_argsort_np(valid)
+                assert (order == np.arange(len(valid))).all()
