@@ -265,3 +265,38 @@ def test_train_step_on_8_device_mesh(tmp_path):
     # params stay replicated
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert leaf.sharding.is_fully_replicated
+
+
+def test_eval_step_on_8_device_mesh(tmp_path):
+    """The jitted eval step runs data-parallel on the 8-device CPU mesh:
+    sharded batch in, per-pair predictions out, finite global metrics —
+    the validation analog of test_train_step_on_8_device_mesh."""
+    from deepclr_tpu.engine import create_train_state, make_eval_step
+    from deepclr_tpu.losses import make_metric_fns
+    from deepclr_tpu.parallel import make_mesh, replicate_sharding, shard_batch
+
+    assert jax.device_count() == 8
+
+    cfg = _make_cfg(tmp_path, batch_size=8)
+    model = build_model(cfg.model)
+    variables = init_params(model, jax.random.PRNGKey(0), num_points=N, batch_size=8)
+    loss_fn = make_loss_fn(cfg.metrics.loss, cfg.model.label_type)
+    metric_fns = make_metric_fns(cfg.metrics.loss, [], cfg.model.label_type)
+    optimizer = make_optimizer(cfg)
+
+    mesh = make_mesh()
+    state = create_train_state(model, variables, optimizer, ["loss"])
+    state = jax.device_put(state, replicate_sharding(mesh))
+
+    batch = _synthetic_batch(seed=11, batch=8)
+    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    dev = shard_batch(arrays, mesh)
+
+    eval_step = make_eval_step(model, {**metric_fns, "loss_fn": loss_fn})
+    y_pred, metrics = eval_step(state, dev)
+    assert y_pred.shape[0] == 8
+    for name, v in metrics.items():
+        assert np.isfinite(float(np.mean(np.asarray(v)))), name
+    # a second call hits the same executable (no shape-driven recompile)
+    y_pred2, _ = eval_step(state, dev)
+    np.testing.assert_allclose(np.asarray(y_pred), np.asarray(y_pred2))
