@@ -2,6 +2,7 @@ from .checkpoint import Checkpointer, restore_checkpoint
 from .trainer import (
     TrainState,
     create_train_state,
+    install_sigint_handler,
     make_eval_step,
     make_train_step,
     run_trainer,
@@ -13,6 +14,7 @@ __all__ = [
     "restore_checkpoint",
     "TrainState",
     "create_train_state",
+    "install_sigint_handler",
     "make_train_step",
     "make_eval_step",
     "run_trainer",

@@ -36,7 +36,7 @@ from ..utils.logging import create_logger, create_summary_writer
 from .checkpoint import Checkpointer, restore_checkpoint
 
 __all__ = ["TrainState", "make_train_step", "make_eval_step", "train", "run_trainer",
-           "shutdown_in_progress"]
+           "shutdown_in_progress", "install_sigint_handler"]
 
 # Interrupt-checkpoint contract (reference trainer.py:222-231, hardened):
 # once the loop has exited — completed, interrupted, or crashed — the
@@ -53,21 +53,32 @@ def shutdown_in_progress() -> bool:
     return _shutdown.is_set()
 
 
-def _install_sigint_handler():
-    """Raise KeyboardInterrupt on SIGINT unless shutdown already started.
+def _sigint_handler(signum, frame):
+    """Module-level singleton so installs are idempotent: when the entry
+    script pre-installs it, run_trainer sees itself as the previous
+    handler and never restores the default one — there is NO instant at
+    which a raw SIGINT can kill the process between loop exit and
+    interpreter exit (a race reproduced under CPU load: the default
+    handler restored by run_trainer's finally fired before the script's
+    own finally could install SIG_IGN)."""
+    if _shutdown.is_set():
+        print("SIGINT ignored: training state already persisted / "
+              "shutdown in progress", flush=True)
+        return
+    raise KeyboardInterrupt
+
+
+def install_sigint_handler():
+    """Install the shutdown-aware SIGINT handler (raise KeyboardInterrupt
+    until shutdown starts, ignore after).  Entry scripts call this once at
+    process start.
 
     Returns the previous handler, or None when not on the main thread
     (signal.signal is main-thread-only; worker-thread callers keep the
     process handler untouched).
     """
-    def handler(signum, frame):
-        if _shutdown.is_set():
-            print("SIGINT ignored: training state already persisted / "
-                  "shutdown in progress", flush=True)
-            return
-        raise KeyboardInterrupt
     try:
-        return signal.signal(signal.SIGINT, handler)
+        return signal.signal(signal.SIGINT, _sigint_handler)
     except ValueError:  # not the main thread
         return None
 
@@ -440,7 +451,7 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
     t_epoch = time.monotonic()
     n_batches_epoch = 0
     _shutdown.clear()
-    prev_sigint = _install_sigint_handler()
+    prev_sigint = install_sigint_handler()
     try:
         done = False
         for epoch in range(start_epoch, epochs):
@@ -512,7 +523,10 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
         if writer is not None:
             writer.flush()
             writer.close()
-        if prev_sigint is not None:
+        # restore only a FOREIGN previous handler: when the entry script
+        # pre-installed _sigint_handler, restoring would swap in the
+        # default handler and reopen the late-SIGINT kill window
+        if prev_sigint is not None and prev_sigint is not _sigint_handler:
             signal.signal(signal.SIGINT, prev_sigint)
 
     return state

@@ -10,7 +10,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from deepclr_tpu.config import Mode, load_config
-from deepclr_tpu.engine import train
+from deepclr_tpu.engine import install_sigint_handler, train
 from deepclr_tpu.parallel import maybe_initialize
 
 
@@ -19,6 +19,12 @@ def main():
     # stderr without disturbing the run (long-run jobs on relayed TPU
     # backends can block in device fetches; this shows where)
     faulthandler.register(signal.SIGUSR1, all_threads=True)
+    # interrupt contract: ONE shutdown-aware SIGINT handler, installed
+    # before any work and never displaced — raises KeyboardInterrupt while
+    # the run is live, downgrades to a log line once the resumable state
+    # is persisted.  run_trainer recognizes this handler as its own and
+    # leaves it installed, so no teardown instant is unprotected.
+    install_sigint_handler()
     # multi-host pod launch: join the jax distributed runtime when the
     # environment asks for it (DEEPCLR_COORDINATOR / DEEPCLR_DISTRIBUTED);
     # single-host launches pay nothing
@@ -38,6 +44,7 @@ if __name__ == "__main__":
     try:
         main()
     except KeyboardInterrupt:
+        signal.signal(signal.SIGINT, signal.SIG_IGN)
         print("Interrupted by user")
     finally:
         # The trainer persists a resumable checkpoint on interrupt and its
