@@ -22,18 +22,12 @@ BASELINE_PAIRS_PER_SEC_PER_CHIP = 250.0
 
 def _kitti_like_clouds(batch, n, d, seed=0):
     """Synthetic clouds with KITTI-like spatial statistics (~120x120x8 m
-    extent) so spatial culling behaves as it does on real scans.  Host
-    Morton-presorted, as the data pipeline delivers them
-    (data/batching.py pad_points; KITTI_MODEL_CFG params.presorted)."""
-    from deepclr_tpu.ops.morton import morton_argsort_np
-
+    extent) so spatial culling behaves as it does on real scans."""
     rng = np.random.default_rng(seed)
     pts = rng.normal(size=(batch, n, 3)).astype(np.float32)
     pts *= np.array([30.0, 30.0, 2.0], np.float32)
     extra = rng.uniform(0.0, 1.0, size=(batch, n, d - 3)).astype(np.float32)
-    cloud = np.concatenate([pts, extra], axis=-1)
-    cloud = np.stack([c[morton_argsort_np(c)] for c in cloud])
-    return jnp.asarray(cloud)
+    return jnp.asarray(np.concatenate([pts, extra], axis=-1))
 
 
 def main():

@@ -27,10 +27,7 @@ def _kitti_like_clouds(batch, n, d, seed=0):
     pts = rng.normal(size=(batch, n, 3)).astype(np.float32)
     pts *= np.array([30.0, 30.0, 2.0], np.float32)
     extra = rng.uniform(0.0, 1.0, size=(batch, n, d - 3)).astype(np.float32)
-    cloud = np.concatenate([pts, extra], axis=-1)
-    from deepclr_tpu.ops.morton import morton_argsort_np
-    cloud = np.stack([c[morton_argsort_np(c)] for c in cloud])  # pipeline presorts
-    return jnp.asarray(cloud)
+    return jnp.asarray(np.concatenate([pts, extra], axis=-1))
 
 
 def timeit(jfn, *args, iters=10, warmup=2):
