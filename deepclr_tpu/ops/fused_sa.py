@@ -197,7 +197,13 @@ def _winner_mlp(x_w, centers, f_w, weights, biases, valid):
 
 def _winner_grads(xyz, centers, weights, biases, features, jstar, g):
     """Winner-only VJP: gather the argmax points, differentiate the MLP
-    re-evaluation at just those pairs, scatter point-gradients back."""
+    re-evaluation at just those pairs, scatter point-gradients back.
+
+    (Carrying the winner rows out of the forward kernel instead of
+    gathering here was tried and is a net loss: the in-kernel one-hot
+    select + inner-axis reduce costs ~30 ms at the flagship shape vs the
+    ~10 ms gather it replaces — bisected with a noextract/nostore kernel
+    split, 6.4 / 36.9 ms.)"""
     b, n, _ = xyz.shape
     p = centers.shape[1]
     h3 = weights[-1].shape[-1]
@@ -205,13 +211,16 @@ def _winner_grads(xyz, centers, weights, biases, features, jstar, g):
     valid = jstar >= 0  # (B, P, H3)
     js = jnp.maximum(jstar, 0).reshape(b, p * h3)
 
-    x_w = jnp.take_along_axis(xyz, js[..., None], axis=1)
-    x_w = x_w.reshape(b, p, h3, 3)
-    if features is not None:
-        f_w = jnp.take_along_axis(features, js[..., None], axis=1)
-        f_w = f_w.reshape(b, p, h3, features.shape[-1])
-    else:
-        f_w = None
+    # ONE row gather for all channels: TPU row gathers price per
+    # launch, not per byte — gathering [xyz | features] together
+    # measured 10.2 ms vs 14.8 ms for two separate gathers at
+    # (8, 65536) rows
+    src = (xyz if features is None
+           else jnp.concatenate([xyz, features], -1))
+    w_rows = jnp.take_along_axis(src, js[..., None], axis=1)
+    w_rows = w_rows.reshape(b, p, h3, src.shape[-1])
+    x_w = w_rows[..., :3]
+    f_w = None if features is None else w_rows[..., 3:]
 
     g = jnp.where(valid, g, 0.0)
     if f_w is None:
