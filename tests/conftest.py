@@ -14,6 +14,11 @@ if os.environ.get(_SENTINEL) != "1":
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_PLATFORM_NAME"] = "cpu"
+    # Also disarm the TPU-relay PJRT registration entirely: when the relay
+    # is unresponsive, merely *registering* the plugin wedges every jax
+    # init in the process — even with JAX_PLATFORMS=cpu.  CPU tests have
+    # no business touching the relay.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (
