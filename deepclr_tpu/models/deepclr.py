@@ -370,8 +370,34 @@ class DeepCLR(nn.Module):
         *,
         train: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-        feats0 = self.encode(template, template_mask, aug_template, train=train)
-        feats1 = self.encode(source, source_mask, aug_source, train=train)
+        if template.shape == source.shape:
+            # one stacked 2B encode (the reference also runs SetAbstraction
+            # on the stacked [templates; sources] batch, data/build.py:61-99):
+            # halves the Morton/FPS/fused-SA kernel launches per step and
+            # matches reference batch-norm statistics when BN is enabled
+            b = template.shape[0]
+            both = jnp.concatenate([template, source], axis=0)
+            if template_mask is None and source_mask is None:
+                mask = None
+            else:
+                ones = jnp.ones(template.shape[:2], bool)
+                mask = jnp.concatenate(
+                    [template_mask if template_mask is not None else ones,
+                     source_mask if source_mask is not None else ones], axis=0)
+            if aug_template is None and aug_source is None:
+                aug = None
+            else:
+                eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                       (b, 4, 4))
+                aug = jnp.concatenate(
+                    [aug_template if aug_template is not None else eye,
+                     aug_source if aug_source is not None else eye], axis=0)
+            feats = self.encode(both, mask, aug, train=train)
+            feats0, feats1 = feats[:b], feats[b:]
+        else:
+            feats0 = self.encode(template, template_mask, aug_template,
+                                 train=train)
+            feats1 = self.encode(source, source_mask, aug_source, train=train)
         y_pred = self.register(feats0, feats1, train=train)
 
         loss = None
