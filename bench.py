@@ -9,15 +9,57 @@ pairs/s on a v5e-8, i.e. 250 pairs/s/chip (the reference publishes no
 absolute GPU numbers — BASELINE.md).
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from __graft_entry__ import KITTI_MODEL_CFG
-
 BASELINE_PAIRS_PER_SEC_PER_CHIP = 250.0
+
+# Device-readiness gate: when the TPU relay is unresponsive, ANY jax
+# backend init in this environment hangs forever in a retry loop (even
+# JAX_PLATFORMS=cpu — registering the relay plugin is enough).  Probe in
+# short-lived subprocesses first so an outage surfaces as a bounded,
+# explicit failure instead of a silent driver hang.  Tunables:
+#   DEEPCLR_BENCH_PROBE_TIMEOUT  per-attempt seconds (default 300)
+#   DEEPCLR_BENCH_PROBE_RETRIES  attempts (default 6, ~30 min total)
+
+
+def _wait_for_devices() -> None:
+    timeout = float(os.environ.get("DEEPCLR_BENCH_PROBE_TIMEOUT", "300"))
+    retries = int(os.environ.get("DEEPCLR_BENCH_PROBE_RETRIES", "6"))
+    last = None
+    for attempt in range(retries):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout, capture_output=True, text=True,
+                env=os.environ.copy(),
+            )
+            if proc.returncode == 0:
+                return
+            last = proc.stderr[-500:]
+        except subprocess.TimeoutExpired:
+            last = f"device probe timed out after {timeout:.0f}s"
+        print(f"bench: device probe attempt {attempt + 1}/{retries} failed "
+              f"({last})", file=sys.stderr, flush=True)
+        if attempt + 1 < retries:
+            time.sleep(30)
+    print(json.dumps({
+        "metric": "kitti_16k_pairs_per_sec_per_chip",
+        "error": f"TPU backend unavailable after {retries} probe attempts "
+                 f"(relay outage?): {last}",
+    }))
+    sys.exit(1)
+
+
+_wait_for_devices()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from __graft_entry__ import KITTI_MODEL_CFG  # noqa: E402
 
 
 def _kitti_like_clouds(batch, n, d, seed=0):
