@@ -16,6 +16,7 @@ import os.path as osp
 import signal
 import threading
 import time
+from contextlib import contextmanager
 from typing import Any, Callable, Dict, Optional
 
 import flax.struct
@@ -48,6 +49,31 @@ __all__ = ["TrainState", "make_train_step", "make_eval_step", "train", "run_trai
 # exit that the raw KeyboardInterrupt contract leaves open.
 _shutdown = threading.Event()
 
+# Donation-window interrupt deferral: the jitted step donates the previous
+# TrainState, so its buffers are DELETED the moment the call dispatches.  A
+# KeyboardInterrupt raised between that dispatch and the rebinding
+# ``state = train_step(...)`` leaves the name ``state`` pointing at deleted
+# arrays, and the interrupt checkpoint then dies with "Array has been
+# deleted".  While _defer_depth > 0 the SIGINT handler records the signal
+# instead of raising; _defer_interrupt re-raises it at the context exit,
+# where ``state`` is a coherent pytree again.  Signal handlers run at main-
+# thread bytecode boundaries, so plain ints are race-free here.
+_defer_depth = 0
+_interrupt_pending = False
+
+
+@contextmanager
+def _defer_interrupt():
+    global _defer_depth, _interrupt_pending
+    _defer_depth += 1
+    try:
+        yield
+    finally:
+        _defer_depth -= 1
+        if _interrupt_pending and _defer_depth == 0:
+            _interrupt_pending = False
+            raise KeyboardInterrupt
+
 
 def shutdown_in_progress() -> bool:
     return _shutdown.is_set()
@@ -61,9 +87,13 @@ def _sigint_handler(signum, frame):
     interpreter exit (a race reproduced under CPU load: the default
     handler restored by run_trainer's finally fired before the script's
     own finally could install SIG_IGN)."""
+    global _interrupt_pending
     if _shutdown.is_set():
         print("SIGINT ignored: training state already persisted / "
               "shutdown in progress", flush=True)
+        return
+    if _defer_depth > 0:
+        _interrupt_pending = True
         return
     raise KeyboardInterrupt
 
@@ -451,6 +481,8 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
     t_epoch = time.monotonic()
     n_batches_epoch = 0
     _shutdown.clear()
+    global _interrupt_pending
+    _interrupt_pending = False
     prev_sigint = install_sigint_handler()
     try:
         done = False
@@ -461,7 +493,10 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
             for batch in train_loader:
                 lr = schedule(scheduler_count())
                 dev = shard_batch(_device_batch(batch), mesh)
-                state, metrics = train_step(state, dev, np.float32(lr))
+                # the step donates ``state``; an interrupt inside this
+                # window would strand the name on deleted buffers
+                with _defer_interrupt():
+                    state, metrics = train_step(state, dev, np.float32(lr))
                 iteration += 1
                 n_batches_epoch += 1
 
