@@ -249,23 +249,70 @@ def _winner_grads(xyz, centers, weights, biases, features, jstar, g):
     return dxyz, dcenters, dweights, dbiases, dfeatures
 
 
+def _kernel_grads(xyz, centers, weights, biases, features, m, out, g,
+                  radius_t, compute_dtype, interpret):
+    """Equality-select backward: one culled streaming Pallas pass
+    accumulates the tail-layer gradients plus the layer-1 term cotangents
+    (da for ``a = x·W1x + f·W1f + b1``, dbc for ``bc = -c·W1x``); the
+    layer-1/input gradients assemble from those with plain N-row matmuls.
+
+    No argmax tracking in the forward and no (B, P*H3)-row winner gather —
+    both measured multi-ms at KITTI scale (see docs/kernels.md)."""
+    from .pallas.fused_sa_kernel import ball_mlp_max_bwd_pallas
+
+    da, dbc, dw_tail, db_tail = ball_mlp_max_bwd_pallas(
+        xyz, centers, weights, biases, radius_t, g, out,
+        features=features, mask=m[..., 0] > 0.5,
+        compute_dtype=compute_dtype, interpret=interpret,
+    )
+    w1 = weights[0]
+    w1x = w1[:3].astype(jnp.float32)
+    dw1x = (jnp.einsum("bni,bnh->ih", xyz, da)
+            - jnp.einsum("bpi,bph->ih", centers, dbc))
+    db1 = jnp.sum(da, axis=(0, 1))
+    dxyz = jnp.einsum("bnh,ih->bni", da, w1x)
+    dcenters = -jnp.einsum("bph,ih->bpi", dbc, w1x)
+    if features is not None:
+        dw1 = jnp.concatenate(
+            [dw1x, jnp.einsum("bnf,bnh->fh", features, da)], axis=0)
+        dfeatures = jnp.einsum(
+            "bnh,fh->bnf", da, w1[3:].astype(jnp.float32))
+    else:
+        dw1 = dw1x
+        dfeatures = None
+    return (dxyz, dcenters, (dw1, *dw_tail), (db1, *db_tail), dfeatures)
+
+
 def ball_mlp_max(xyz, centers, weights, biases, radius: Radius,
                  features=None, mask=None, chunk: int = 512,
                  compute_dtype=jnp.bfloat16, backward: str = "auto"):
     """Fused radius-neighborhood PointNet scale (differentiable).
 
-    Forward runs the Pallas TPU kernel when on TPU (XLA scan elsewhere);
-    backward uses the winner-only argmax formulation on TPU and
-    differentiates the XLA scan elsewhere (see module docstring).
-    ``backward`` overrides the choice for testing: "argmax" forces the
-    winner-only path (interpret-mode kernel off-TPU), "scan" forces the
-    XLA-scan VJP.
+    Forward runs the Pallas TPU kernel when on TPU (XLA scan elsewhere).
+    ``backward`` selects the VJP:
+
+    * "kernel" (the TPU default under "auto") — equality-select backward
+      kernel: a second culled streaming pass recomputes activations,
+      selects winners by equality with the forward output, and
+      accumulates all gradients in-stream.  No argmax tracking and no
+      winner-row gather.
+    * "argmax" — winner-only path: argmax-tracking forward kernel +
+      gather/re-evaluate at the winning pairs (kept for A/B).
+    * "scan" — differentiate the XLA scan formulation (the off-TPU
+      default under "auto").
+
+    Tie gradients differ: kernel gives full cotangent to every maximizing
+    row, argmax to the lowest index, scan splits evenly — identical
+    whenever the winner is unique (always, except exact float ties
+    between distinct points).
     """
     from .pallas.fused_sa_kernel import ball_mlp_max_pallas, pallas_available
 
     use_pallas = pallas_available()
-    use_argmax = (backward == "argmax"
-                  or (backward == "auto" and use_pallas))
+    if backward == "auto":
+        mode = "kernel" if use_pallas else "scan"
+    else:
+        mode = backward
     radius_t = radius if isinstance(radius, tuple) else float(radius)
     weights = tuple(weights)
     biases = tuple(biases)
@@ -275,22 +322,27 @@ def ball_mlp_max(xyz, centers, weights, biases, radius: Radius,
 
     @jax.custom_vjp
     def f(xyz, centers, weights, biases, features, m):
-        if use_pallas:
-            real_mask = m[..., 0] > 0.5
+        if use_pallas or mode == "kernel":
+            # the kernel backward compares recomputed activations against
+            # the forward output by equality, so the forward must be the
+            # Pallas kernel (interpret off-TPU), not the XLA scan
             return ball_mlp_max_pallas(
                 xyz, centers, weights, biases, radius_t,
-                features=features, mask=real_mask, compute_dtype=compute_dtype,
+                features=features, mask=m[..., 0] > 0.5,
+                compute_dtype=compute_dtype, interpret=not use_pallas,
             )
         return _xla_impl(xyz, centers, weights, biases, features, m,
                          radius_t, chunk, compute_dtype)
 
     def f_fwd(xyz, centers, weights, biases, features, m):
-        if use_argmax:
+        if mode == "kernel":
+            out = f(xyz, centers, weights, biases, features, m)
+            return out, (xyz, centers, weights, biases, features, m, out)
+        if mode == "argmax":
             # run the argmax-tracking kernel ONCE here: its value output is
             # identical to the plain kernel's, and stashing the winner
             # indices as a residual removes the full second kernel launch
-            # the backward otherwise needs (measured: the kernel dominates
-            # the train step, so this halves its share of fwd+bwd)
+            # the backward otherwise needs
             from .pallas.fused_sa_kernel import ball_mlp_max_pallas_argmax
 
             out, jstar = ball_mlp_max_pallas_argmax(
@@ -304,10 +356,17 @@ def ball_mlp_max(xyz, centers, weights, biases, radius: Radius,
         )
 
     def f_bwd(res, g):
-        xyz, centers, weights, biases, features, m, jstar = res
-        if use_argmax:
+        xyz, centers, weights, biases, features, m, aux = res
+        if mode == "kernel":
+            dxyz, dcenters, dweights, dbiases, dfeatures = _kernel_grads(
+                xyz, centers, weights, biases, features, m, aux, g,
+                radius_t, compute_dtype, interpret=not use_pallas,
+            )
+            return (dxyz, dcenters, dweights, dbiases, dfeatures,
+                    jnp.zeros_like(m))
+        if mode == "argmax":
             dxyz, dcenters, dweights, dbiases, dfeatures = _winner_grads(
-                xyz, centers, weights, biases, features, jstar, g
+                xyz, centers, weights, biases, features, aux, g
             )
             if features is None:
                 dfeatures = None

@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "ball_mlp_max_pallas",
     "ball_mlp_max_pallas_argmax",
+    "ball_mlp_max_bwd_pallas",
     "block_min_d2_pallas",
     "pallas_available",
 ]
@@ -240,23 +241,18 @@ def _make_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("radius", "center_tile", "stream", "inner",
-                     "compute_dtype", "interpret", "with_argmax", "d2_mode",
-                     "cull"),
-)
-def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
-                              features, mask, center_tile: int, stream: int,
-                              inner: int, compute_dtype, interpret: bool,
-                              with_argmax: bool = False,
-                              d2_mode: str = "f32", cull: str = "exact"):
+def _prologue(xyz, centers, weights, biases, radius, features, mask,
+              center_tile: int, stream: int, inner: int, compute_dtype,
+              interpret: bool, cull: str):
+    """Shared fwd/bwd packing: lane groups, layer-1 terms, culling bitmap,
+    block-diagonal tail weights.  Returns a dict of kernel operands; the
+    backward pass MUST see bit-identical packed inputs so its recomputed
+    activations match the forward's winners exactly."""
     b, n, _ = xyz.shape
     p = centers.shape[1]
     w1, b1 = weights[0], biases[0]
     h1 = w1.shape[1]
     h3 = weights[-1].shape[-1]
-    n_tail = len(weights) - 1
 
     groups = max(1, 128 // h1)
     while n % groups != 0 and groups > 1:
@@ -353,6 +349,36 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
         _block_diag([w] * groups).astype(compute_dtype) for w in weights[1:]
     ]
     tail_b = [jnp.tile(bb, (groups,))[None, :] for bb in biases[1:]]
+
+    return dict(
+        b=b, n=n, p=p, h1=h1, h3=h3, groups=groups, np_rows=np_rows,
+        n_sub=n_sub, n_tiles=n_tiles, geo=geo, a_p=a_p, active=active,
+        cts_t=cts_t, bc_t=bc_t, r2_p=r2_p, e2=e2, tail_w=tail_w,
+        tail_b=tail_b,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "center_tile", "stream", "inner",
+                     "compute_dtype", "interpret", "with_argmax", "d2_mode",
+                     "cull"),
+)
+def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
+                              features, mask, center_tile: int, stream: int,
+                              inner: int, compute_dtype, interpret: bool,
+                              with_argmax: bool = False,
+                              d2_mode: str = "f32", cull: str = "exact"):
+    pk = _prologue(xyz, centers, weights, biases, radius, features, mask,
+                   center_tile, stream, inner, compute_dtype, interpret, cull)
+    b, p, h3 = pk["b"], pk["p"], pk["h3"]
+    groups, np_rows, n_tiles = pk["groups"], pk["np_rows"], pk["n_tiles"]
+    geo, a_p, active = pk["geo"], pk["a_p"], pk["active"]
+    cts_t, bc_t, r2_p, e2 = pk["cts_t"], pk["bc_t"], pk["r2_p"], pk["e2"]
+    tail_w, tail_b = pk["tail_w"], pk["tail_b"]
+    h1 = pk["h1"]
+    n_sub = pk["n_sub"]
+    n_tail = len(weights) - 1
 
     grid = (b, np_rows // stream)
 
@@ -483,4 +509,278 @@ def ball_mlp_max_pallas_argmax(xyz, centers, weights, biases, radius,
         xyz, centers, tuple(weights), tuple(biases), radius, features, mask,
         center_tile, stream, inner, compute_dtype, interpret,
         with_argmax=True, d2_mode=d2_mode, cull=cull,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: equality-select gradient streaming
+# ---------------------------------------------------------------------------
+
+def _make_bwd_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
+                     inner: int, compute_dtype, groups: int, h3: int,
+                     d2_mode: str):
+    """Gradient kernel with the forward's grid + culling.
+
+    Each visited (sub-chunk, center-tile) pair recomputes the forward
+    activation chain bit-identically, selects winning rows by equality with
+    the forward output (``h == out[p, c]``), and back-propagates the tail
+    MLP on the spot, accumulating:
+
+      * dW/db per tail layer   — resident (gh_in, gh_out) f32 across the grid,
+      * d(a) per point row     — the layer-1 per-point term's cotangent,
+      * d(bc) per center       — the layer-1 per-center term's cotangent.
+
+    No winner indices are ever stored or gathered: the forward runs the
+    PLAIN kernel (no argmax tracking) and the backward never materializes a
+    (B, P*H3)-row gather — both measured multi-ms costs at KITTI scale.
+
+    Tie semantics: every row achieving the maximum receives the full
+    cotangent (the argmax path gives it to the lowest index; the XLA scan
+    VJP splits it evenly).  All three coincide when the winner is unique —
+    exact float ties between distinct points are the only divergence.
+    """
+    slices = stream // inner
+
+    def kernel(geo_ref, a_ref, act_ref, cts_ref, bc_ref, r2_ref, e2_ref,
+               gt_ref, outt_ref, *rest):
+        tail = rest[:2 * n_tail]
+        tail_wT = rest[2 * n_tail:3 * n_tail]
+        outs = rest[3 * n_tail:]
+        da_ref, dbc_ref = outs[0], outs[1]
+        dw_refs = outs[2:2 + n_tail]
+        db_refs = outs[2 + n_tail:]
+        bi = pl.program_id(0)
+        ni = pl.program_id(1)
+
+        p = dbc_ref.shape[1]
+        gh1 = dbc_ref.shape[2]
+        gh3 = outt_ref.shape[2]
+
+        @pl.when(jnp.logical_and(bi == 0, ni == 0))
+        def _():
+            for li in range(n_tail):
+                dw_refs[li][:, :] = jnp.zeros(dw_refs[li].shape, jnp.float32)
+                db_refs[li][:, :] = jnp.zeros(db_refs[li].shape, jnp.float32)
+
+        @pl.when(ni == 0)
+        def _():
+            dbc_ref[0] = jnp.zeros((p, gh1), jnp.float32)
+
+        da_ref[0] = jnp.zeros((stream, gh1), jnp.float32)
+
+        e2 = e2_ref[:, :]
+        r2 = r2_ref[:, :, :]
+
+        def body(t, k, geo_c, a_c):
+            lo = t * tile
+            cts = cts_ref[0, lo:lo + tile]       # (tile, 1, 4G)
+            bc = bc_ref[0, lo:lo + tile]         # (tile, 1, G*H1)
+            outt = outt_ref[0, lo:lo + tile, :]  # (tile, G*H3)
+            gt = gt_ref[0, lo:lo + tile, :]      # (tile, G*H3)
+
+            # ---- forward recompute: bit-identical to _make_kernel ------
+            dx = geo_c - cts
+            dx2 = (dx * dx).reshape(tile * inner, -1)
+            if d2_mode == "bf16":
+                d2_cols = jnp.dot(
+                    dx2.astype(jnp.bfloat16), e2.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                d2_cols = jnp.dot(dx2, e2, preferred_element_type=jnp.float32)
+            d2_cols = d2_cols.reshape(tile, inner, gh3)
+
+            pre = jnp.maximum(a_c + bc, 0.0)     # (tile, inner, G*H1)
+            h = jnp.broadcast_to(pre, (tile, inner, pre.shape[-1]))
+            hs = [h.reshape(tile * inner, -1)]
+            for li in range(n_tail):
+                w = tail[2 * li][:, :].astype(compute_dtype)
+                b = tail[2 * li + 1][:, :]
+                acc = jnp.dot(hs[-1].astype(compute_dtype), w,
+                              preferred_element_type=jnp.float32)
+                hs.append(jnp.maximum(acc + b.astype(jnp.float32), 0.0))
+
+            # ---- winner selection by equality with the fwd output ------
+            hm = jnp.where(d2_cols < r2,
+                           hs[-1].reshape(tile, inner, gh3), _NEG)
+            sel = hm == outt[:, None, :]
+            delta = jnp.where(sel, gt[:, None, :], 0.0)
+            delta = delta.reshape(tile * inner, gh3)
+
+            # ---- tail backprop + accumulation --------------------------
+            # backward matmuls run in compute_dtype with f32 accumulation
+            # (f32 operands cost multiple MXU passes per matmul — measured
+            # ~2x on the whole backward kernel at flagship shape)
+            for li in range(n_tail - 1, -1, -1):
+                # relu' of this layer's output
+                delta = delta * (hs[li + 1] > 0.0).astype(jnp.float32)
+                dw_refs[li][:, :] += jax.lax.dot_general(
+                    hs[li].astype(compute_dtype), delta.astype(compute_dtype),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                db_refs[li][:, :] += jnp.sum(delta, axis=0, keepdims=True)
+                delta = jnp.dot(
+                    delta.astype(compute_dtype), tail_wT[li][:, :],
+                    preferred_element_type=jnp.float32,
+                )
+            # relu' of the layer-1 pre-activation
+            d0 = (delta * (hs[0] > 0.0).astype(jnp.float32)).reshape(
+                tile, inner, gh1
+            )
+            da_ref[0, k * inner:(k + 1) * inner, :] += jnp.sum(d0, axis=0)
+            dbc_ref[0, lo:lo + tile, :] += jnp.sum(d0, axis=1)
+
+        for k in range(slices):
+            s = k * inner
+            geo_c = geo_ref[0, s:s + inner, :][None]  # (1, inner, 4G)
+            a_c = a_ref[0, s:s + inner, :][None]      # (1, inner, G*H1)
+            for t in range(n_tiles):
+                @pl.when(act_ref[0, t, ni * slices + k] > 0)
+                def _(t=t, k=k, geo_c=geo_c, a_c=a_c):
+                    body(t, k, geo_c, a_c)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "center_tile", "stream", "inner",
+                     "compute_dtype", "interpret", "d2_mode", "cull"),
+)
+def _ball_mlp_bwd_impl(xyz, centers, weights, biases, radius, g, out,
+                       features, mask, center_tile: int, stream: int,
+                       inner: int, compute_dtype, interpret: bool,
+                       d2_mode: str = "f32", cull: str = "exact"):
+    pk = _prologue(xyz, centers, weights, biases, radius, features, mask,
+                   center_tile, stream, inner, compute_dtype, interpret, cull)
+    b, p, h1, h3 = pk["b"], pk["p"], pk["h1"], pk["h3"]
+    groups, np_rows, n_tiles = pk["groups"], pk["np_rows"], pk["n_tiles"]
+    n_sub = pk["n_sub"]
+    n_tail = len(weights) - 1
+
+    # packed (B, P, G*H3) cotangent + forward-output comparison target.
+    # ``out`` is the guarded output (empty balls -> 0.0): masked rows carry
+    # _NEG which never equals it, so empty balls select nothing — and a
+    # genuine 0.0 winner matches rows whose relu clamped to exactly 0,
+    # where relu' kills the gradient anyway (scan-VJP does the same).
+    gt = jnp.tile(g.astype(jnp.float32), (1, 1, groups))
+    outt = jnp.tile(out.astype(jnp.float32), (1, 1, groups))
+
+    tail_wT = [jnp.swapaxes(w, 0, 1) for w in pk["tail_w"]]
+
+    grid = (b, np_rows // stream)
+    gh1 = groups * h1
+    gh3 = groups * h3
+
+    def vm(block, index_map):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        vm((1, stream, groups * 4), lambda bi, ni: (bi, ni, 0)),    # geo
+        vm((1, stream, gh1), lambda bi, ni: (bi, ni, 0)),           # a_p
+        pl.BlockSpec((1, n_tiles, n_sub), lambda bi, ni: (bi, 0, 0),
+                     memory_space=pltpu.SMEM),                       # active
+        vm((1, p, 1, groups * 4), lambda bi, ni: (bi, 0, 0, 0)),    # cts_t
+        vm((1, p, 1, gh1), lambda bi, ni: (bi, 0, 0, 0)),           # bc_t
+        pl.BlockSpec(memory_space=pltpu.VMEM),                      # r2_p
+        pl.BlockSpec(memory_space=pltpu.VMEM),                      # e2
+        vm((1, p, gh3), lambda bi, ni: (bi, 0, 0)),                 # gt
+        vm((1, p, gh3), lambda bi, ni: (bi, 0, 0)),                 # outt
+    ]
+    args = [pk["geo"], pk["a_p"], pk["active"], pk["cts_t"], pk["bc_t"],
+            pk["r2_p"], pk["e2"], gt, outt]
+    for w, bb in zip(pk["tail_w"], pk["tail_b"]):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(w)
+        args.append(bb)
+    for wT in tail_wT:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(wT)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, np_rows, gh1), jnp.float32),   # da
+        jax.ShapeDtypeStruct((b, p, gh1), jnp.float32),         # dbc
+    ]
+    out_specs = [
+        vm((1, stream, gh1), lambda bi, ni: (bi, ni, 0)),
+        vm((1, p, gh1), lambda bi, ni: (bi, 0, 0)),
+    ]
+    for w in pk["tail_w"]:
+        out_shape.append(
+            jax.ShapeDtypeStruct((w.shape[0], w.shape[1]), jnp.float32))
+        out_specs.append(vm((w.shape[0], w.shape[1]), lambda bi, ni: (0, 0)))
+    for bb in pk["tail_b"]:
+        out_shape.append(jax.ShapeDtypeStruct((1, bb.shape[1]), jnp.float32))
+        out_specs.append(vm((1, bb.shape[1]), lambda bi, ni: (0, 0)))
+
+    kernel = _make_bwd_kernel(n_tail, n_tiles, center_tile, stream, inner,
+                              compute_dtype, groups, h3, d2_mode)
+    results = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(*args)
+
+    da_p, dbc_p = results[0], results[1]
+    dw_packed = results[2:2 + n_tail]
+    db_packed = results[2 + n_tail:]
+
+    # --- unpack the lane groups (tiny XLA ops) --------------------------
+    n = pk["n"]
+    da = da_p.reshape(b, n, h1)
+    dbc = dbc_p.reshape(b, p, groups, h1).sum(axis=2)
+    dw_tail = []
+    db_tail = []
+    for li in range(n_tail):
+        hi = weights[1 + li].shape[0]
+        ho = weights[1 + li].shape[1]
+        dw_tail.append(jnp.einsum(
+            "gigo->io", dw_packed[li].reshape(groups, hi, groups, ho)))
+        db_tail.append(db_packed[li].reshape(groups, ho).sum(axis=0))
+    return da, dbc, tuple(dw_tail), tuple(db_tail)
+
+
+def ball_mlp_max_bwd_pallas(xyz, centers, weights, biases, radius, g, out,
+                            features=None, mask=None, center_tile: int = 64,
+                            stream: int = 16, inner: int = 16,
+                            compute_dtype=jnp.bfloat16,
+                            interpret: bool = False, d2_mode: str = "f32",
+                            cull: str = "exact"):
+    """Equality-select backward for ball_mlp_max_pallas.
+
+    Args:
+      g: (B, P, H3) cotangent of the forward output.
+      out: (B, P, H3) the forward's own (guarded) output — the winner
+        comparison target.  Must come from ball_mlp_max_pallas with the
+        same tile/dtype settings so the recomputed activations match.
+
+    Returns ``(da, dbc, dw_tail, db_tail)``: cotangents of the layer-1
+    per-point term ``a = x·W1x + f·W1f + b1`` (B, N, H1), the per-center
+    term ``bc = -c·W1x`` (B, P, H1), and the tail weights/biases.  The
+    caller assembles layer-1/input gradients from da/dbc (ops/fused_sa.py
+    ``_kernel_grads``).
+
+    Tile sizes deliberately differ from the forward's (64/16/16 vs
+    16/32/32): every per-pair value depends only on that pair's inputs
+    (contractions run over the fixed K axis), so the recomputed
+    activations are bitwise-identical under ANY tiling and the equality
+    select stays exact; coarser culling only *adds* zero-delta visits,
+    never skips a winner.  The forward's tiles are cull-optimal, but the
+    backward body carries ~2.5x the ops and the fully-unrolled
+    (slices x n_tiles) loop at the forward's tiling tips Mosaic into a
+    pathological codegen regime — measured 102 ms vs 17 ms at the
+    flagship shape (B16 x 16k pts, P=1024) for bit-identical results.
+    """
+    center_tile, stream, inner = _tile_sizes(
+        xyz, centers, weights, center_tile, stream, inner
+    )
+    return _ball_mlp_bwd_impl(
+        xyz, centers, tuple(weights), tuple(biases), radius, g, out,
+        features, mask, center_tile, stream, inner, compute_dtype,
+        interpret, d2_mode=d2_mode, cull=cull,
     )

@@ -160,6 +160,65 @@ def test_argmax_backward_matches_scan_backward():
         )
 
 
+def test_kernel_backward_matches_scan_backward():
+    """The equality-select backward kernel must produce the same gradients
+    as differentiating the XLA scan (no duplicate points -> unique winners,
+    so the subgradients coincide).  In interpret mode the forward recompute
+    is bitwise-identical XLA, so the match is essentially exact."""
+    from deepclr_tpu.ops.fused_sa import ball_mlp_max
+
+    xyz, feat, mask = _data(seed=11)
+    centers = xyz[:, :P, :]
+    sw, sb = _params(seed=12)
+    weights, biases, radius_cols = multi_scale_bundle(sw, sb, (0.8, 1.5))
+
+    def loss(backward):
+        def fn(ws, bs, feat, xyz, centers):
+            out = ball_mlp_max(
+                xyz, centers, tuple(ws), tuple(bs), radius_cols,
+                features=feat, mask=mask, compute_dtype=jnp.float32,
+                backward=backward,
+            )
+            return jnp.sum(out ** 2)
+        return fn
+
+    args = (weights, biases, feat, xyz, centers)
+    g_scan = jax.grad(loss("scan"), argnums=(0, 1, 2, 3, 4))(*args)
+    g_ker = jax.grad(loss("kernel"), argnums=(0, 1, 2, 3, 4))(*args)
+    for gs, gk in zip(jax.tree_util.tree_leaves(g_scan),
+                      jax.tree_util.tree_leaves(g_ker)):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gs), atol=2e-3, rtol=1e-3
+        )
+
+
+def test_kernel_backward_no_features():
+    """features=None path of the backward kernel (xyz-only layer 1)."""
+    from deepclr_tpu.ops.fused_sa import ball_mlp_max
+
+    xyz, _, mask = _data(seed=21)
+    centers = xyz[:, :P, :]
+    sw, sb = _params(seed=22, in_dim=3, scales=1)
+
+    def loss(backward):
+        def fn(ws, bs, xyz, centers):
+            out = ball_mlp_max(
+                xyz, centers, tuple(ws), tuple(bs), 1.2,
+                mask=mask, compute_dtype=jnp.float32, backward=backward,
+            )
+            return jnp.sum(out ** 2)
+        return fn
+
+    args = (sw[0], sb[0], xyz, centers)
+    g_scan = jax.grad(loss("scan"), argnums=(0, 1, 2, 3))(*args)
+    g_ker = jax.grad(loss("kernel"), argnums=(0, 1, 2, 3))(*args)
+    for gs, gk in zip(jax.tree_util.tree_leaves(g_scan),
+                      jax.tree_util.tree_leaves(g_ker)):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gs), atol=2e-3, rtol=1e-3
+        )
+
+
 def test_argmax_kernel_winner_indices():
     """The argmax output must point at the actual maximizing point per
     (center, column), and -1 for empty balls."""
