@@ -27,14 +27,17 @@ the ball holds <= nsample hits).  Every ball contains its own center (FPS
 picks real points), so balls are never empty.
 
 Differentiation: because the output is a max over neighbors, its gradient
-touches only the winning point per (center, output column).  Under
-differentiation the forward runs the Pallas kernel ONCE in argmax-tracking
-mode and stashes the winner indices as a residual; the backward then just
-re-evaluates the MLP chain at the B*P*H3 winning pairs (~1M rows at KITTI
-scale vs ~67M packed pairwise rows for a scan recompute) and scatters
-gradients back — an exact subgradient (ties go to the lowest point index
-instead of being split, which only matters for duplicated points).
-Off-TPU the backward differentiates the XLA scan formulation.
+touches only the winning point per (center, output column).  On TPU the
+backward is a SECOND culled streaming Pallas pass (same grid family as the
+forward) that recomputes the activation chain bit-identically, selects the
+winning rows by equality with the forward's own output, and accumulates
+every gradient in-stream — no argmax tracking in the forward and no
+(B, P*H3)-row winner gather, both measured multi-ms at KITTI scale (see
+docs/kernels.md).  The result is an exact subgradient matching the f32
+scan VJP bit-for-bit on hardware; on exact float ties every maximizing
+row receives the full cotangent (the scan VJP splits evenly, the legacy
+argmax path picks the lowest index — identical whenever the winner is
+unique).  Off-TPU the backward differentiates the XLA scan formulation.
 """
 from __future__ import annotations
 

@@ -5,10 +5,10 @@ profile_train.py gives three coarse numbers (forward, fwd+bwd, full step);
 this script splits the backward into its structural pieces so the next
 optimization target is measured, not guessed:
 
-  * fused-SA fwd+bwd alone (argmax kernel + winner-only VJP), w.r.t. the
-    SA weights only — the train step differentiates params, not inputs,
-    so XLA DCEs the dxyz/dfeatures scatters; this isolates what remains,
-  * the winner gather alone (the known ~10 ms row gather),
+  * fused-SA fwd+bwd alone (plain kernel forward + equality-select
+    backward kernel since r3), w.r.t. the SA weights only,
+  * the legacy winner row gather alone — the ~15 ms (B, P*H3)-row gather
+    the equality-select backward eliminated; kept as a reference point,
   * register (motion embedding + head) fwd+bwd alone on precomputed
     features,
   * full model fwd+bwd (== profile_train.py's vg) for the residual.
@@ -137,7 +137,7 @@ def main():
         jax.jit(lambda wb, x, c, f: sa_loss(wb, x, c, f)),
         (sa_w, sa_b), xyz_s, centers_s, feats_s, iters=args.iters)
 
-    # ---- the winner row gather alone -----------------------------------
+    # ---- legacy winner row gather (eliminated by the r3 backward) ------
     p_centers, h3 = 1024, 64
     rng = np.random.default_rng(0)
     js = jnp.asarray(rng.integers(0, n, size=(2 * b, p_centers * h3)),
@@ -148,7 +148,7 @@ def main():
         rows = jnp.take_along_axis(src, js[..., None], axis=1)
         return jnp.sum(rows)
 
-    results["winner row gather"] = timeit(
+    results["winner row gather (legacy)"] = timeit(
         jax.jit(gather_only), src, js, iters=args.iters)
 
     # ---- register fwd+bwd on precomputed features ----------------------
