@@ -102,6 +102,39 @@ def main():
 
     pairs_per_sec = batch * iters / dt
 
+    # training throughput: fwd+bwd+loss on the same workload, reduced to
+    # one scalar inside jit (raw gradient-pytree outputs would measure the
+    # relay's per-buffer overhead, not the kernels — docs/roofline.md)
+    from deepclr_tpu.geometry import LabelType
+    from deepclr_tpu.losses import make_loss_fn
+
+    loss_fn = make_loss_fn(
+        [{"type": "trans", "weights": [1.0], "params": {"p": 2}},
+         {"type": "rot", "weights": [200.0], "params": {"p": 2}}],
+        LabelType.POSE3D_DUAL_QUAT,
+    )
+    m_id = np.tile(np.eye(4, dtype=np.float32), (batch, 1, 1))
+    m_id[:, 0, 3] = 0.5
+    y = jnp.asarray(LabelType.POSE3D_DUAL_QUAT.from_matrix(m_id), jnp.float32)
+
+    @jax.jit
+    def grad_step(params, template, source):
+        def loss(p):
+            y_pred, _ = model.apply({"params": p}, template, source)
+            return jnp.sum(loss_fn(y_pred, y))
+        val, grads = jax.value_and_grad(loss)(params)
+        return val + sum(jnp.sum(g)
+                         for g in jax.tree_util.tree_leaves(grads))
+
+    params = variables["params"]
+    np.asarray(grad_step(params, template, source))
+    np.asarray(grad_step(params, template, source))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        tout = grad_step(params, template, source)
+    np.asarray(tout)
+    train_pairs_per_sec = batch * iters / (time.perf_counter() - t0)
+
     from deepclr_tpu.utils.flops import (
         mfu, model_flops_per_pair, peak_flops_per_chip,
     )
@@ -117,6 +150,8 @@ def main():
         "gflops_per_pair": round(
             model_flops_per_pair(KITTI_MODEL_CFG, n) / 1e9, 2),
         "peak_tflops": round(peak_flops_per_chip() / 1e12, 1),
+        # fwd+bwd (training) rate on the same pairs
+        "train_pairs_per_sec": round(train_pairs_per_sec, 2),
     }))
 
 

@@ -316,6 +316,20 @@ def ball_mlp_max(xyz, centers, weights, biases, radius: Radius,
         mode = "kernel" if use_pallas else "scan"
     else:
         mode = backward
+    if (mode == "scan" and use_pallas
+            and compute_dtype == jnp.bfloat16):
+        import warnings
+
+        # the rematerialized bf16 forward inside the scan VJP differs from
+        # the saved values in ulps on TPU, so reduce_max's equality-mask
+        # transpose matches nothing and gradients silently vanish
+        # (measured |g| ratio ~0 vs f32; docs/kernels.md)
+        warnings.warn(
+            "ball_mlp_max backward='scan' on TPU with bfloat16 yields "
+            "near-zero gradients (remat/reduce_max equality hazard); use "
+            "backward='kernel' (the TPU default) or compute_dtype=float32",
+            stacklevel=2,
+        )
     radius_t = radius if isinstance(radius, tuple) else float(radius)
     weights = tuple(weights)
     biases = tuple(biases)

@@ -219,6 +219,45 @@ def test_kernel_backward_no_features():
         )
 
 
+def test_bwd_kernel_tile_independence():
+    """The backward kernel's gradients must be identical under any tiling:
+    per-pair values depend only on that pair (contractions run over the
+    fixed K axis), which is what licenses the coarser backward tiles."""
+    from deepclr_tpu.ops.fused_sa import multi_scale_bundle
+    from deepclr_tpu.ops.pallas.fused_sa_kernel import (
+        ball_mlp_max_bwd_pallas,
+        ball_mlp_max_pallas,
+    )
+
+    xyz, feat, mask = _data(seed=31)
+    centers = xyz[:, :P, :]
+    sw, sb = _params(seed=32)
+    weights, biases, rcols = multi_scale_bundle(sw, sb, (0.8, 1.5))
+    weights, biases = tuple(weights), tuple(biases)
+
+    out = ball_mlp_max_pallas(
+        xyz, centers, weights, biases, rcols, features=feat, mask=mask,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    g = jnp.ones_like(out)
+
+    ref = None
+    for ct, st, inn in ((8, 16, 16), (16, 8, 8), (32, 32, 16)):
+        res = ball_mlp_max_bwd_pallas(
+            xyz, centers, weights, biases, rcols, g, out,
+            features=feat, mask=mask, compute_dtype=jnp.float32,
+            center_tile=ct, stream=st, inner=inn, interpret=True,
+        )
+        leaves = jax.tree_util.tree_leaves(res)
+        if ref is None:
+            ref = leaves
+            continue
+        for a, b in zip(leaves, ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-6
+            )
+
+
 def test_argmax_kernel_winner_indices():
     """The argmax output must point at the actual maximizing point per
     (center, column), and -1 for empty balls."""
