@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16)  # 2B clouds
     ap.add_argument("--n", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--backward", action="store_true",
+                    help="also sweep the equality-select backward kernel's "
+                         "tile axis (compiles are slow at unrolled-heavy "
+                         "tilings; see docs/kernels.md)")
     args = ap.parse_args()
 
     from deepclr_tpu.models import build_model, init_params
@@ -115,6 +119,45 @@ def main():
                   f"{ms:8.2f}  {dev:.3e} (of {mag:.2f})")
         except Exception as e:  # pragma: no cover
             print(f"{f'{mode} t{tile}/s{stream}/i{inner}':>32}: FAILED {e}")
+
+    if not args.backward:
+        return
+
+    # --- backward-kernel tile axis --------------------------------------
+    # the bwd body carries ~2.5x the fwd's ops, and Mosaic's codegen falls
+    # off a cliff past an unrolled-code-size threshold — fewer, larger
+    # bodies win here even though the same tiling loses in the forward
+    # (docs/kernels.md).  Gradients are tiling-independent, so deviation
+    # vs the default-tiling backward must be ~0.
+    from deepclr_tpu.ops.pallas.fused_sa_kernel import ball_mlp_max_bwd_pallas
+
+    out_ref = jnp.asarray(ref_out)
+    g = jnp.ones_like(out_ref)
+
+    def make_bwd(tile, stream, inner):
+        def fn(xyz_s, centers_s, feats_s):
+            res = ball_mlp_max_bwd_pallas(
+                xyz_s, centers_s, weights, biases, radius_cols, g, out_ref,
+                features=feats_s, compute_dtype=jnp.bfloat16,
+                center_tile=tile, stream=stream, inner=inner,
+            )
+            return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(res))
+        return jax.jit(fn)
+
+    print(f"\n{'backward variant':>32}: {'ms':>8}  scalar dev")
+    bwd_ref = None
+    for tile, stream, inner in ((64, 16, 16), (32, 16, 16), (128, 16, 16),
+                                (64, 32, 32), (16, 32, 32)):
+        fn = make_bwd(tile, stream, inner)
+        try:
+            val = float(np.asarray(fn(xyz_s, centers_s, feats_s)))
+            ms = timeit(fn, xyz_s, centers_s, feats_s, iters=args.iters)
+            if bwd_ref is None:
+                bwd_ref = val
+            print(f"{f'bwd t{tile}/s{stream}/i{inner}':>32}: {ms:8.2f}  "
+                  f"{abs(val - bwd_ref):.3e}")
+        except Exception as e:  # pragma: no cover
+            print(f"{f'bwd t{tile}/s{stream}/i{inner}':>32}: FAILED {e}")
 
 
 if __name__ == "__main__":
