@@ -32,6 +32,9 @@ def timeit(jfn, *args, iters=10, warmup=2):
 
 
 def main():
+    # compiles between prints run minutes; keep partial sweeps visible
+    # under redirects/timeouts
+    sys.stdout.reconfigure(line_buffering=True)
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)  # 2B clouds
     ap.add_argument("--n", type=int, default=16384)
@@ -96,7 +99,7 @@ def main():
     ref_ms = timeit(
         jax.jit(lambda a, c, f: jnp.sum(ref_fn(a, c, f))),
         xyz_s, centers_s, feats_s, iters=args.iters)
-    print(f"{'variant':>32}: {'ms':>8}  max|dev|")
+    print(f"{'variant':>32}: {'ms':>8}  max|dev|", flush=True)
     print(f"{'f32 d2, t16/s32/i32 (base)':>32}: {ref_ms:8.2f}  0")
 
     variants = [("bf16", 16, 32, 32)]
