@@ -219,6 +219,46 @@ def test_kernel_backward_no_features():
         )
 
 
+def test_kernel_backward_chained_levels():
+    """Two chained fused-SA levels under the kernel backward: level-2's
+    input gradients (dxyz/dfeatures) must flow back through level-1 —
+    the path a multi-level SetAbstraction exercises but the single-level
+    flagship never does."""
+    from deepclr_tpu.ops.fused_sa import ball_mlp_max
+
+    xyz, feat, mask = _data(seed=41)
+    centers1 = xyz[:, :P, :]
+    centers2 = xyz[:, :P // 2, :]
+    sw, sb = _params(seed=42, scales=1)
+    sw2, sb2 = _params(seed=43, in_dim=3 + 16, mlp=(8, 8, 8), scales=1)
+
+    def loss(backward):
+        def fn(ws1, bs1, ws2, bs2, feat):
+            f1 = ball_mlp_max(
+                xyz, centers1, tuple(ws1), tuple(bs1), 1.0,
+                features=feat, mask=mask, compute_dtype=jnp.float32,
+                backward=backward,
+            )  # (B, P, 16) -> features of the level-2 cloud (centers1)
+            out = ball_mlp_max(
+                centers1, centers2, tuple(ws2), tuple(bs2), 1.5,
+                features=f1, compute_dtype=jnp.float32, backward=backward,
+            )
+            return jnp.sum(out ** 2)
+        return fn
+
+    args = (sw[0], sb[0], sw2[0], sb2[0], feat)
+    g_scan = jax.grad(loss("scan"), argnums=(0, 1, 2, 3, 4))(*args)
+    g_ker = jax.grad(loss("kernel"), argnums=(0, 1, 2, 3, 4))(*args)
+    total = 0.0
+    for gs, gk in zip(jax.tree_util.tree_leaves(g_scan),
+                      jax.tree_util.tree_leaves(g_ker)):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gs), atol=2e-3, rtol=1e-3
+        )
+        total += float(jnp.sum(jnp.abs(gk)))
+    assert total > 0  # gradients actually flowed through both levels
+
+
 def test_bwd_kernel_tile_independence():
     """The backward kernel's gradients must be identical under any tiling:
     per-pair values depend only on that pair (contractions run over the
