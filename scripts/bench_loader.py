@@ -5,11 +5,12 @@ Builds a synthetic KITTI-density .pack (full 60k-pt-class clouds like the
 reference's every-2nd-point conversion), then measures DataLoader
 batches/s for the KITTI training configuration under thread vs process
 workers, with and without the O(n^2) host FPS transform — the loader must
-outrun the device train step (bench: ~81 ms per 8-pair step at 16k pts,
-i.e. ~12.3 steps/s/chip) or the chip starves.
+outrun the device train step (bench: ~31.9 ms per 8-pair step at 16k pts
+since the r3 equality-select backward, i.e. ~31.3 steps/s/chip) or the
+chip starves.
 
 Usage: python scripts/bench_loader.py [--clouds 96] [--raw-points 60000]
-       [--device-step-ms 81 --device-batch 8]
+       [--device-step-ms 31.9 --device-batch 8]
 """
 import argparse
 import sys
@@ -87,7 +88,7 @@ def main():
     ap.add_argument("--num-points", type=int, default=16384)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--workers", type=int, default=6)
-    ap.add_argument("--device-step-ms", type=float, default=81.0)
+    ap.add_argument("--device-step-ms", type=float, default=31.9)
     ap.add_argument("--pack", type=str, default="/tmp/bench_loader.pack")
     args = ap.parse_args()
 
