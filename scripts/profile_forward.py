@@ -154,6 +154,21 @@ def main():
 
     results["knn"] = timeit(knn_only, xyz0, xyz1, iters=args.iters)
 
+    # the k-neighbor row gather alone (motion embedding gathers layer-1
+    # terms by the kNN indices; row gathers are per-row priced on TPU)
+    idx_real = jax.jit(lambda a, c: knn(a, c, 20)[0])(xyz0, xyz1)
+    idx_real = jax.block_until_ready(idx_real)
+
+    def knn_gather_only(f1, idx):
+        bsz, p_, k_ = idx.shape
+        rows = jnp.take_along_axis(
+            f1, idx.reshape(bsz, p_ * k_)[..., None], axis=1)
+        return jnp.sum(rows)
+
+    results["knn row gather"] = timeit(knn_gather_only, f1, idx_real,
+                                       iters=args.iters)
+
+
     total_named = (results["morton_sort_2B"] + results["fps_2B"]
                    + results["fused_sa_2B"] + results["register"])
     print(f"\n=== profile (batch={b}, n={n}, backend={jax.default_backend()}) ===")
