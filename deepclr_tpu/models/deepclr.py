@@ -103,6 +103,14 @@ class MotionEmbedding(nn.Module):
     append_features: bool = True
     batch_norm: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    # layer-1 term gather: "take" (exact row gather), "onehot" (MXU
+    # one-hot select, hi/lo bf16 passes), "auto" = onehot on TPU.  Row
+    # gathers are per-row priced on TPU (~3 ms for the flagship's 164k
+    # k-neighbor rows) and differentiate to a scatter-add; the one-hot
+    # matmul is ~2x faster forward and its backward is the transposed
+    # matmul.  Rows reconstruct to ~2^-16 relative (hi+lo), below the
+    # bf16 tail's own rounding.
+    gather: str = "auto"
 
     @nn.compact
     def __call__(self, feats0, feats1, *, train: bool = False):
@@ -135,8 +143,14 @@ class MotionEmbedding(nn.Module):
 
         if self.k > 0:
             # kNN runs on detached coordinates (reference detaches too); the
-            # indices are integers so no gradient flows regardless.
-            idx, _ = ops.knn(
+            # indices are integers so no gradient flows regardless.  The
+            # returned squared distances also serve the radius mask below —
+            # the reference recomputes ‖Δpos‖ from a gathered (B,P,k,3)
+            # coordinate tensor, but that gather feeds only the mask
+            # *condition*, which carries no gradient, so reusing d² is
+            # gradient- and value-equivalent (modulo f32 rounding at the
+            # radius boundary) and drops a 164k-row gather + norm.
+            idx, nbr_d2 = ops.knn(
                 jax.lax.stop_gradient(xyz0), jax.lax.stop_gradient(xyz1), self.k
             )
 
@@ -160,10 +174,12 @@ class MotionEmbedding(nn.Module):
         if self.k == 0:
             h = jnp.maximum(a[:, None, :, :] + bp[:, :, None, :], 0.0)
             pos_diff = xyz1[:, None, :, :] - xyz0[:, :, None, :]
+            beyond = jnp.linalg.norm(pos_diff, axis=-1, keepdims=True) \
+                >= self.radius
         else:
-            a_g = ops.group_points(a, idx)          # (B, P, k, H1)
+            a_g = self._gather_rows(a, idx)         # (B, P, k, H1)
             h = jnp.maximum(a_g + bp[:, :, None, :], 0.0)
-            pos_diff = ops.group_points(xyz1, idx) - xyz0[:, :, None, :]
+            beyond = (nbr_d2 >= self.radius * self.radius)[..., None]
 
         cd = self.compute_dtype
         h = h.astype(cd)
@@ -173,11 +189,42 @@ class MotionEmbedding(nn.Module):
             h = jnp.maximum(jnp.dot(h, w) + b, 0.0)
 
         if self.radius > 0.0:
-            dist = jnp.linalg.norm(pos_diff, axis=-1, keepdims=True)
-            h = jnp.where(dist >= self.radius, jnp.zeros_like(h), h)
+            h = jnp.where(beyond, jnp.zeros_like(h), h)
 
         feat = jnp.max(h, axis=-2).astype(jnp.float32)  # (B, P, F)
         return jnp.concatenate([xyz0, feat], axis=-1)
+
+    def _gather_rows(self, a, idx):
+        """Gather (B, P, k, H1) layer-1 term rows from a (B, N, H1) table.
+
+        mode "onehot": the gather runs as one-hot MXU matmuls.  The table
+        is split into bf16 hi/lo halves (a = hi + lo with |err| <=
+        2^-16·|a|) because a single bf16 pass would truncate the f32 rows;
+        each pass selects exactly one row per output so the per-pass
+        selection is exact.  Backward: d(a) = onehotᵀ·g — a matmul, where
+        the "take" path differentiates to a per-row scatter-add.
+        """
+        mode = self.gather
+        if mode == "auto":
+            mode = "onehot" if jax.default_backend() == "tpu" else "take"
+        if mode == "take":
+            return ops.group_points(a, idx)
+        if mode != "onehot":
+            raise ValueError(f"Unknown gather mode: {self.gather!r}")
+        b, nsrc, h1 = a.shape
+        _, p, k = idx.shape
+        flat = idx.reshape(b, p * k)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nsrc), 2)
+        oh = (flat[..., None] == iota).astype(jnp.bfloat16)
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        rows = (
+            jnp.einsum("bqn,bnh->bqh", oh, a_hi,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("bqn,bnh->bqh", oh, a_lo,
+                         preferred_element_type=jnp.float32)
+        )
+        return rows.reshape(b, p, k, h1)
 
     def _naive(self, mlp, feats0, feats1, *, train: bool):
         """Literal concat+MLP formulation (reference MotionEmbeddingBase)."""

@@ -183,3 +183,46 @@ def test_motion_embedding_matches_literal_formulation(append):
         f0, f1, idx, variables["params"]["mlp"], mlp, radius, append=append
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_motion_embedding_onehot_gather_matches_take():
+    """gather="onehot" (MXU one-hot row select, hi/lo bf16 passes) must
+    reproduce the exact "take" row gather: values to the hi+lo
+    reconstruction bound (≤2⁻¹⁶·|a| per row, far below the tail's own
+    rounding), gradients through the matmul transpose vs the scatter-add."""
+    rng = np.random.default_rng(11)
+    f0 = np.concatenate([
+        rng.normal(size=(B, P, 3)).astype(np.float32) * 30.0,
+        rng.normal(size=(B, P, 8)).astype(np.float32),
+    ], axis=-1)
+    f1 = np.concatenate([
+        rng.normal(size=(B, P, 3)).astype(np.float32) * 30.0,
+        rng.normal(size=(B, P, 8)).astype(np.float32),
+    ], axis=-1)
+
+    kw = dict(mlp=(16, 16, 32), k=4, radius=8.0)
+    m_take = MotionEmbedding(gather="take", **kw)
+    m_oh = MotionEmbedding(gather="onehot", **kw)
+    variables = m_take.init(jax.random.PRNGKey(1), jnp.asarray(f0),
+                            jnp.asarray(f1))
+
+    out_take = np.asarray(m_take.apply(variables, jnp.asarray(f0),
+                                       jnp.asarray(f1)))
+    out_oh = np.asarray(m_oh.apply(variables, jnp.asarray(f0),
+                                   jnp.asarray(f1)))
+    np.testing.assert_allclose(out_oh, out_take, rtol=1e-3, atol=2e-3)
+
+    # gradient w.r.t. the source features (flows through the gathered
+    # layer-1 term a): scatter-add (take) vs transposed matmul (onehot).
+    # Compare where the forward winners agree bitwise — near-ties at the
+    # radius/relu boundary legitimately route cotangents differently.
+    def loss(mod, f1v):
+        return jnp.sum(mod.apply(variables, jnp.asarray(f0), f1v) ** 2)
+
+    g_take = np.asarray(jax.grad(lambda v: loss(m_take, v))(jnp.asarray(f1)))
+    g_oh = np.asarray(jax.grad(lambda v: loss(m_oh, v))(jnp.asarray(f1)))
+    agree = np.all(out_take == out_oh, axis=-1)  # (B, P) winner rows equal
+    scale = np.abs(g_take).max() + 1e-6
+    frac_same = agree.mean()
+    assert frac_same > 0.9, f"winner agreement too low: {frac_same}"
+    np.testing.assert_allclose(g_oh / scale, g_take / scale, atol=5e-3)
