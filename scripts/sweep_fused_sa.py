@@ -149,8 +149,8 @@ def main():
 
     print(f"\n{'backward variant':>32}: {'ms':>8}  scalar dev")
     bwd_ref = None
-    for tile, stream, inner in ((64, 16, 16), (32, 16, 16), (128, 16, 16),
-                                (64, 32, 32), (16, 32, 32)):
+    for tile, stream, inner in ((64, 16, 16), (64, 16, 8), (64, 8, 8),
+                                (256, 16, 16), (64, 32, 16), (128, 8, 8)):
         fn = make_bwd(tile, stream, inner)
         try:
             val = float(np.asarray(fn(xyz_s, centers_s, feats_s)))
