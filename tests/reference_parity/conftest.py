@@ -77,7 +77,9 @@ def ref():
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
 
-    import deepclr.config  # noqa: F401  (untangles the import circle)
+    import importlib
+
+    importlib.import_module("deepclr.config")  # untangles the import circle
     import deepclr.models.helper as helper
     import deepclr.solver.schedulers as schedulers
     import deepclr.utils.metrics as metrics
