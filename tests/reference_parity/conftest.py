@@ -74,12 +74,17 @@ def ref():
         _stub(name, package=True)
     for name in _MODULES:
         _stub(name)
+    # transforms3d gets a FUNCTIONAL shim (standard math, not a stub) so the
+    # reference's evaluation metrics and label conversions actually run.
+    from . import _t3d_shim
+    _t3d_shim.install()
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
 
     import importlib
 
     importlib.import_module("deepclr.config")  # untangles the import circle
+    import deepclr.evaluation.metrics as eval_metrics
     import deepclr.models.helper as helper
     import deepclr.solver.schedulers as schedulers
     import deepclr.utils.metrics as metrics
@@ -88,6 +93,7 @@ def ref():
 
     ns = types.SimpleNamespace(
         metrics=metrics,
+        eval_metrics=eval_metrics,
         quaternion=quaternion,
         helper=helper,
         schedulers=schedulers,
