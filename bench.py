@@ -75,7 +75,11 @@ def _kitti_like_clouds(batch, n, d, seed=0):
 def main():
     from deepclr_tpu.models import build_model, init_params
 
-    batch, n = 8, 16384
+    # batch 16 is the measured single-chip throughput sweet spot: the
+    # batch sweep (docs/kernels.md) gives 753 / 813 / 806 pairs/s at
+    # batch 8 / 16 / 32 — beyond 16 the fused-SA working set stops
+    # amortizing dispatch overhead while FPS falls back to VMEM slices.
+    batch, n = 16, 16384
     model = build_model(KITTI_MODEL_CFG)
     variables = init_params(model, jax.random.PRNGKey(0), num_points=n,
                             batch_size=batch)
@@ -152,6 +156,7 @@ def main():
         "peak_tflops": round(peak_flops_per_chip() / 1e12, 1),
         # fwd+bwd (training) rate on the same pairs
         "train_pairs_per_sec": round(train_pairs_per_sec, 2),
+        "batch": batch,
     }))
 
 

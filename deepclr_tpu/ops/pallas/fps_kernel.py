@@ -102,6 +102,32 @@ def _fps_pallas_wide(xyz, npoint: int, mask=None):
     )(planes, m)
 
 
+def _max_clouds_per_call(n: int) -> int:
+    """Largest batch slice whose VMEM residency fits the scoped limit.
+
+    The kernel keeps xyz planes (3*B*N), the mask (B*N) and the running
+    min-distance scratch (B*N) in VMEM — 5*B*N f32 words.  The TPU scoped
+    vmem limit is 16 MB; budget 14 MB to leave room for the output and
+    compiler temporaries, and round down to a sublane multiple (8).
+    """
+    budget_words = (14 << 20) // 4
+    b = max(1, budget_words // (5 * n))
+    return max(8, (b // 8) * 8) if b >= 8 else b
+
+
 def furthest_point_sample_pallas(xyz, npoint: int, mask=None):
-    """(B, N, 3) f32 [+ (B, N) mask] -> (B, npoint) int32 indices."""
-    return _fps_pallas_wide(xyz, npoint, mask=mask)
+    """(B, N, 3) f32 [+ (B, N) mask] -> (B, npoint) int32 indices.
+
+    Batches larger than one call's VMEM residency are processed in
+    slices; FPS is independent per cloud, so slicing is exact.
+    """
+    b, n, _ = xyz.shape
+    step = _max_clouds_per_call(n)
+    if b <= step:
+        return _fps_pallas_wide(xyz, npoint, mask=mask)
+    outs = []
+    for s in range(0, b, step):
+        sl = slice(s, min(s + step, b))
+        outs.append(_fps_pallas_wide(
+            xyz[sl], npoint, mask=None if mask is None else mask[sl]))
+    return jnp.concatenate(outs, axis=0)
