@@ -27,6 +27,22 @@ from ..ops.morton import morton_argsort_np
 __all__ = ["pad_points", "BatchBuilder", "batch_samples"]
 
 
+def _morton_sorted(cloud: np.ndarray) -> np.ndarray:
+    """Morton-sort rows; native radix path when available (bit-identical
+    to the numpy argsort path — tests/native/test_native.py), else numpy.
+    ``DEEPCLR_NATIVE_PAD=0`` forces the numpy path."""
+    if cloud.dtype == np.float32:  # other dtypes would quantize keys
+        try:
+            from ..native.morton_sort import (
+                morton_sort_rows_native, native_morton_available,
+            )
+            if native_morton_available():
+                return morton_sort_rows_native(np.ascontiguousarray(cloud))
+        except Exception:
+            pass
+    return cloud[morton_argsort_np(cloud)]
+
+
 def pad_points(cloud: np.ndarray, num_points: int,
                rng: Optional[np.random.Generator] = None,
                morton: bool = False):
@@ -44,7 +60,7 @@ def pad_points(cloud: np.ndarray, num_points: int,
         sel = rng.choice(n, size=num_points, replace=False)
         cloud, n = cloud[sel], num_points
     if morton and n > 1:
-        cloud = cloud[morton_argsort_np(cloud)]
+        cloud = _morton_sorted(cloud)
     if n == num_points:
         return cloud.astype(np.float32, copy=False), np.ones(num_points, bool)
     out = np.zeros((num_points, cloud.shape[1]), np.float32)

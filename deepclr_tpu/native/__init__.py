@@ -6,7 +6,9 @@ compute kernels are Pallas/XLA; the host-side native pieces live in
 ``native/``:
 
   * kitti_devkit.cpp — KITTI odometry benchmark evaluator,
-  * pack_reader.cpp  — mmap .pack store reader (zero-copy record access).
+  * pack_reader.cpp  — mmap .pack store reader (zero-copy record access),
+  * morton_sort.cpp  — pad-time Morton presort (bit-identical stable
+    radix sort; the hottest host op for ``presorted`` models).
 
 Libraries are built on demand with g++ into native/build/ and cached; the
 standalone binaries can also be built via native/Makefile.

@@ -92,4 +92,61 @@ def test_kitti_devkit_eval(tmp_path):
 def test_standalone_binaries_build():
     build_library("kitti_devkit")
     build_library("pack_reader")
+    build_library("morton_sort")
     assert osp.exists(build_library("kitti_devkit"))
+
+
+def test_native_morton_sort_bit_identical():
+    """The native radix Morton sort must equal the numpy stable-argsort
+    path exactly — same double-precision quantization, stable order on
+    tied keys — so pad_points(morton=True) is path-independent."""
+    from deepclr_tpu.native.morton_sort import (
+        morton_sort_rows_native, native_morton_available,
+    )
+    from deepclr_tpu.ops.morton import morton_argsort_np
+
+    if not native_morton_available():
+        pytest.skip("native morton_sort unavailable")
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (rng.normal(size=(4096, 4)) * 30).astype(np.float32),
+        # tied keys: repeated points exercise sort stability
+        np.repeat((rng.normal(size=(256, 4)) * 5).astype(np.float32),
+                  8, axis=0),
+        # degenerate axis (LiDAR-flat z) + extra feature columns
+        np.concatenate(
+            [rng.normal(size=(1000, 2)) * 50, np.zeros((1000, 1)),
+             rng.random((1000, 2))], axis=1).astype(np.float32),
+        (rng.normal(size=(1, 3))).astype(np.float32),
+    ]
+    for cloud in cases:
+        ref = cloud[morton_argsort_np(cloud)]
+        np.testing.assert_array_equal(morton_sort_rows_native(cloud), ref)
+
+
+def test_pad_points_morton_native_matches_numpy(monkeypatch):
+    """pad_points(morton=True) gives identical batches with the native
+    path enabled and disabled (DEEPCLR_NATIVE_PAD=0)."""
+    import importlib
+
+    import deepclr_tpu.data.batching as batching
+    import deepclr_tpu.native.morton_sort as ms
+
+    rng = np.random.default_rng(7)
+    cloud = (rng.normal(size=(900, 4)) * 20).astype(np.float32)
+
+    out_native, mask_native = batching.pad_points(
+        cloud.copy(), 1024, np.random.default_rng(0), morton=True)
+
+    monkeypatch.setenv("DEEPCLR_NATIVE_PAD", "0")
+    importlib.reload(ms)  # drop the cached library handle
+    try:
+        out_py, mask_py = batching.pad_points(
+            cloud.copy(), 1024, np.random.default_rng(0), morton=True)
+    finally:
+        monkeypatch.delenv("DEEPCLR_NATIVE_PAD")
+        importlib.reload(ms)
+
+    np.testing.assert_array_equal(out_native, out_py)
+    np.testing.assert_array_equal(mask_native, mask_py)
