@@ -118,6 +118,10 @@ def create_default_config(mode: Mode) -> Config:
     cfg.define_param("bias_lr_factor", parent=o, default=2.0)
     cfg.define_param("weight_decay_bias", parent=o, default=0.0)
     cfg.define_param("accumulation_steps", parent=o, default=1)
+    # Polyak weight averaging (0.0 = off; no reference analog): the trainer
+    # tracks an EMA of the params with this decay per optimizer update and
+    # writes it as weights_ema_*.msgpack alongside the raw weights
+    cfg.define_param("weight_ema_decay", parent=o, default=0.0)
     cfg.define_param("params", parent=o, default={})
 
     # scheduler

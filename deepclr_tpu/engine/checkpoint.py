@@ -47,7 +47,7 @@ class Checkpointer:
             os.makedirs(output_dir, exist_ok=True)
 
     def _write(self, tag: str, epoch: int, iteration: int, state: Any,
-               params: Any) -> str:
+               params: Any, ema_params: Any = None) -> str:
         payload: Dict[str, Any] = {
             "epoch": epoch,
             "iteration": iteration,
@@ -59,25 +59,35 @@ class Checkpointer:
         _atomic_write(weights_path, flax.serialization.to_bytes(params))
         _relink(osp.join(self._dir, "ckpt.msgpack"), ckpt_path)
         _relink(osp.join(self._dir, "weights.msgpack"), weights_path)
+        if ema_params is not None:
+            # Polyak-averaged weights (optimizer.weight_ema_decay > 0):
+            # same variables-dict format, separate artifact so inference can
+            # pick either via --weights
+            ema_path = osp.join(self._dir, f"weights_ema_{tag}.msgpack")
+            _atomic_write(ema_path, flax.serialization.to_bytes(ema_params))
+            _relink(osp.join(self._dir, "weights_ema.msgpack"), ema_path)
         return ckpt_path
 
     def save_checkpoint(self, epoch: int, iteration: int, state: Any,
-                        params: Any) -> str:
+                        params: Any, ema_params: Any = None) -> str:
         """Regular checkpoint; prunes the ring buffer beyond n_saved."""
-        path = self._write(str(iteration), epoch, iteration, state, params)
+        path = self._write(str(iteration), epoch, iteration, state, params,
+                           ema_params)
         self._saved.append(str(iteration))
         while len(self._saved) > self._n_saved:
             tag = self._saved.pop(0)
-            for prefix in ("ckpt", "weights"):
+            for prefix in ("ckpt", "weights", "weights_ema"):
                 old = osp.join(self._dir, f"{prefix}_{tag}.msgpack")
                 if osp.exists(old):
                     os.remove(old)
         return path
 
     def save_special_checkpoint(self, name: str, epoch: int, iteration: int,
-                                state: Any, params: Any) -> str:
+                                state: Any, params: Any,
+                                ema_params: Any = None) -> str:
         """final / interrupt / exception checkpoints, never pruned."""
-        return self._write(f"{name}_{iteration}", epoch, iteration, state, params)
+        return self._write(f"{name}_{iteration}", epoch, iteration, state,
+                           params, ema_params)
 
 
 def load_checkpoint_bytes(path: str) -> bytes:

@@ -124,6 +124,10 @@ class TrainState:
     grad_acc: Any              # accumulated grads (zeros between updates)
     metrics_ema: Dict[str, jnp.ndarray]
     rng: jax.Array
+    # Polyak weight average (optimizer.weight_ema_decay > 0); () when off.
+    # No reference analog — an opt-in stabilizer for the noisy-final-weights
+    # long-horizon odometry sensitivity (docs/kitti_synth.md).
+    param_ema: Any = ()
 
 
 _BATCH_KEYS = (
@@ -137,7 +141,7 @@ def _device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def create_train_state(model, variables, optimizer, metric_names,
-                       seed: int = 0) -> TrainState:
+                       seed: int = 0, weight_ema: bool = False) -> TrainState:
     # Copy leaves: the state is donated into the jitted step, so it must not
     # alias the caller's buffers.
     params = jax.tree_util.tree_map(
@@ -151,13 +155,24 @@ def create_train_state(model, variables, optimizer, metric_names,
         grad_acc=jax.tree_util.tree_map(jnp.zeros_like, params),
         metrics_ema={n: jnp.zeros([], jnp.float32) for n in metric_names},
         rng=jax.random.PRNGKey(seed),
+        # seeding the average at the initial params needs no bias correction
+        param_ema=(jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                          variables["params"])
+                   if weight_ema else ()),
     )
 
 
 def make_train_step(model, optimizer, loss_fn, metric_fns,
                     accumulation_steps: int = 1, ema_alpha: float = 0.5,
-                    use_model_loss: bool = False) -> Callable:
-    """Build the jitted train step: (state, batch, lr) -> (state, metrics)."""
+                    use_model_loss: bool = False,
+                    weight_ema_decay: float = 0.0) -> Callable:
+    """Build the jitted train step: (state, batch, lr) -> (state, metrics).
+
+    ``weight_ema_decay`` > 0 maintains a Polyak average of the params in
+    ``state.param_ema`` (updated only on real optimizer updates, i.e. every
+    ``accumulation_steps`` micro-steps); the state must then be created with
+    ``create_train_state(..., weight_ema=True)``.
+    """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], lr):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -208,16 +223,29 @@ def make_train_step(model, optimizer, loss_fn, metric_fns,
                              "learning_rate": jnp.asarray(lr, jnp.float32)}
             )
 
+        # static: the state's pytree structure fixes whether EMA is on
+        has_ema = bool(jax.tree_util.tree_leaves(state.param_ema))
+        if has_ema and not weight_ema_decay > 0.0:
+            raise ValueError(
+                "state carries param_ema but weight_ema_decay is 0"
+            )
+
         def apply_update(args):
-            params, opt_state, acc = args
+            params, opt_state, acc, ema = args
             updates, new_opt = optimizer.update(acc, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             zeros = jax.tree_util.tree_map(jnp.zeros_like, acc)
-            return new_params, new_opt, zeros
+            if has_ema:
+                d = jnp.float32(weight_ema_decay)
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: e * d + (1.0 - d) * p.astype(e.dtype),
+                    ema, new_params,
+                )
+            return new_params, new_opt, zeros, ema
 
-        params, opt_state, grad_acc = jax.lax.cond(
+        params, opt_state, grad_acc, param_ema = jax.lax.cond(
             do_update, apply_update, lambda args: args,
-            (state.params, opt_state, grad_acc),
+            (state.params, opt_state, grad_acc, state.param_ema),
         )
 
         # step metrics + running averages (ignite RunningAverage semantics)
@@ -240,6 +268,7 @@ def make_train_step(model, optimizer, loss_fn, metric_fns,
             grad_acc=grad_acc,
             metrics_ema=ema,
             rng=state.rng,
+            param_ema=param_ema,
         )
         return new_state, ema
 
@@ -356,11 +385,15 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
         # consumes the global batch
         mesh = make_mesh_for_batch(batch_size * process_count())
     use_model_loss = model.loss_module is not None
+    weight_ema_decay = float(
+        getattr(cfg.optimizer, "weight_ema_decay", 0.0) or 0.0
+    )
 
     train_step = make_train_step(
         model, optimizer, loss_fn, metric_fns,
         accumulation_steps=accumulation_steps, ema_alpha=alpha,
         use_model_loss=use_model_loss,
+        weight_ema_decay=weight_ema_decay,
     )
     eval_step = make_eval_step(model, {**metric_fns, "loss_fn": loss_fn})
 
@@ -368,6 +401,7 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
         model, variables, optimizer,
         metric_names=["loss", "loss_fn", *metric_fns.keys()],
         seed=cfg.seed,
+        weight_ema=weight_ema_decay > 0.0,
     )
 
     start_epoch = 0
@@ -468,13 +502,18 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
         variables_out = {"params": host_state.params}
         if host_state.batch_stats:
             variables_out["batch_stats"] = host_state.batch_stats
+        ema_out = None
+        if jax.tree_util.tree_leaves(host_state.param_ema):
+            ema_out = dict(variables_out, params=host_state.param_ema)
         if special is not None:
             checkpointer.save_special_checkpoint(
-                special, epoch, iteration, host_state, variables_out
+                special, epoch, iteration, host_state, variables_out,
+                ema_params=ema_out,
             )
         else:
             checkpointer.save_checkpoint(
-                epoch, iteration, host_state, variables_out
+                epoch, iteration, host_state, variables_out,
+                ema_params=ema_out,
             )
 
     epoch = start_epoch

@@ -300,3 +300,80 @@ def test_eval_step_on_8_device_mesh(tmp_path):
     # a second call hits the same executable (no shape-driven recompile)
     y_pred2, _ = eval_step(state, dev)
     np.testing.assert_allclose(np.asarray(y_pred), np.asarray(y_pred2))
+
+
+def test_weight_ema_tracks_updates(tmp_path):
+    """param_ema follows ema <- d*ema + (1-d)*params, moving only on real
+    optimizer updates (every accumulation_steps micro-steps)."""
+    from deepclr_tpu.engine import create_train_state, make_train_step
+
+    decay = 0.5
+    cfg = _make_cfg(tmp_path, accumulation=2)
+    model = build_model(cfg.model)
+    variables = init_params(model, jax.random.PRNGKey(0), num_points=N, batch_size=B)
+    loss_fn = make_loss_fn(cfg.metrics.loss, cfg.model.label_type)
+    optimizer = make_optimizer(cfg)
+
+    step = make_train_step(model, optimizer, loss_fn, {},
+                           accumulation_steps=2, weight_ema_decay=decay)
+    state = create_train_state(model, variables, optimizer,
+                               ["loss", "loss_fn"], weight_ema=True)
+    p0 = jax.device_get(state.params)
+
+    batch = {k: v for k, v in _synthetic_batch(seed=3).items()
+             if isinstance(v, np.ndarray)}
+
+    expected = p0
+    for i in range(4):
+        state, _ = step(state, batch, np.float32(0.01))
+        params_i = jax.device_get(state.params)
+        if (i + 1) % 2 == 0:  # optimizer update fired
+            expected = jax.tree_util.tree_map(
+                lambda e, p: e * decay + (1 - decay) * p, expected, params_i
+            )
+        else:  # accumulation-only micro-step: ema must not move
+            for a, b in zip(jax.tree_util.tree_leaves(expected),
+                            jax.tree_util.tree_leaves(
+                                jax.device_get(state.param_ema))):
+                np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree_util.tree_leaves(expected),
+                    jax.tree_util.tree_leaves(jax.device_get(state.param_ema))):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+    # the average lags the raw params (they moved away from init)
+    d_params = sum(float(np.abs(x - y).sum()) for x, y in zip(
+        jax.tree_util.tree_leaves(p0),
+        jax.tree_util.tree_leaves(jax.device_get(state.params))))
+    d_ema = sum(float(np.abs(x - y).sum()) for x, y in zip(
+        jax.tree_util.tree_leaves(p0),
+        jax.tree_util.tree_leaves(jax.device_get(state.param_ema))))
+    assert 0.0 < d_ema < d_params
+
+
+def test_weight_ema_trainer_artifacts(tmp_path):
+    """run_trainer with optimizer.weight_ema_decay writes weights_ema_*
+    artifacts loadable for inference."""
+    from deepclr_tpu.models import load_weights
+
+    cfg = _make_cfg(tmp_path, max_iterations=4)
+    cfg.defrost()
+    cfg.optimizer.weight_ema_decay = 0.9
+    cfg.freeze()
+    model = build_model(cfg.model)
+    variables = init_params(model, jax.random.PRNGKey(0), num_points=N, batch_size=B)
+    optimizer = make_optimizer(cfg)
+    schedule = make_schedule(cfg)
+    loss_fn = make_loss_fn(cfg.metrics.loss, cfg.model.label_type)
+    metric_fns = make_metric_fns(cfg.metrics.loss, cfg.metrics.other, cfg.model.label_type)
+
+    batch = _synthetic_batch(seed=9)
+    state = run_trainer(cfg, model, variables, ListLoader([batch] * 4), None,
+                        optimizer, schedule, loss_fn, metric_fns)
+
+    out = cfg.output_dir
+    assert osp.islink(osp.join(out, "weights_ema.msgpack"))
+    ema_vars = load_weights(osp.join(out, "weights_ema.msgpack"))
+    for a, b in zip(jax.tree_util.tree_leaves(ema_vars["params"]),
+                    jax.tree_util.tree_leaves(jax.device_get(state.param_ema))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    y_pred, _ = model.apply(ema_vars, batch["template"], batch["source"])
+    assert np.all(np.isfinite(np.asarray(y_pred)))
