@@ -1,4 +1,4 @@
-from .base import ModelInferenceHelper, pad_cloud
+from .base import BatchedSequentialHelper, ModelInferenceHelper, pad_cloud
 from .build import (
     ModelType,
     build_model,
@@ -13,6 +13,7 @@ from .feature_propagation import FeaturePropagation
 __all__ = [
     "DeepCLR",
     "FeaturePropagation",
+    "BatchedSequentialHelper",
     "ModelInferenceHelper",
     "ModelType",
     "build_model",

@@ -19,7 +19,7 @@ import numpy as np
 from .deepclr import DeepCLR
 from ..ops.morton import morton_argsort_np
 
-__all__ = ["ModelInferenceHelper", "pad_cloud"]
+__all__ = ["BatchedSequentialHelper", "ModelInferenceHelper", "pad_cloud"]
 
 
 def pad_cloud(points: np.ndarray, num_points: int,
@@ -92,6 +92,34 @@ class ModelInferenceHelper:
                               morton=self._morton)
         return self._encode(self._variables, pts[None], mask[None])
 
+    def predict_batch(self, sources, templates) -> np.ndarray:
+        """Pairwise prediction for B independent pairs in one dispatch.
+
+        ``sources`` / ``templates``: sequences of B raw (N_i, D) clouds.
+        Returns (B, label_dim).  Pairwise mode only — for batched
+        *sequential* replay use :class:`BatchedSequentialHelper`.
+        """
+        if self._is_sequential:
+            raise RuntimeError(
+                "predict_batch is pairwise-only; use BatchedSequentialHelper "
+                "for batched sequential prediction."
+            )
+        if len(sources) != len(templates):
+            raise RuntimeError("sources and templates must have equal length.")
+        f0 = self._encode_stack(templates)
+        f1 = self._encode_stack(sources)
+        return np.asarray(self._register(self._variables, f0, f1))
+
+    def _encode_stack(self, clouds):
+        pts, masks = [], []
+        for cloud in clouds:
+            cloud = self._check_dim(np.asarray(cloud), "cloud")
+            p, m = pad_cloud(cloud, self._num_points, self._rng,
+                             morton=self._morton)
+            pts.append(p)
+            masks.append(m)
+        return self._encode(self._variables, np.stack(pts), np.stack(masks))
+
     def predict(self, source: np.ndarray,
                 template: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
         """Predict the transform aligning source to template.
@@ -120,3 +148,87 @@ class ModelInferenceHelper:
         f1 = self.encode_cloud(source)
         y = self._register(self._variables, f0, f1)
         return np.asarray(y[0])
+
+
+class BatchedSequentialHelper:
+    """Sequential odometry over B independent streams in lock-step.
+
+    Throughput mode for multi-sequence replay (batch evaluation over a whole
+    scenario, offline mapping): each :meth:`step` consumes ONE frame per
+    stream, encodes all B clouds in a single device dispatch and registers
+    them against each stream's cached previous-frame features — so the
+    per-dispatch overhead that dominates single-stream latency is amortized
+    B ways, and the encode/register programs run at their batched
+    throughput.  Predictions are identical to B independent
+    :class:`ModelInferenceHelper` instances driven frame by frame (pinned by
+    ``tests/model/test_modules.py::test_batched_sequential_matches_single``).
+
+    Streams are independent: :meth:`reset_stream` starts a new sequence on
+    one lane only (its next step seeds state and yields ``None``, like the
+    reference helper's first frame, ``/root/reference/deepclr/models/base.py:75-99``).
+    """
+
+    def __init__(self, model: DeepCLR, variables, batch: int,
+                 num_points: int = 16384, seed: int = 0):
+        self._model = model
+        self._variables = variables
+        self._input_dim = model.input_dim
+        self._batch = batch
+        self._num_points = num_points
+        self._state = None  # (B, P, 3+C) previous-frame features
+        self._fresh = np.ones(batch, bool)  # lanes without a template yet
+        # per-stream rngs so lane i subsamples exactly like a standalone
+        # helper constructed with seed+i
+        self._rngs = [np.random.default_rng(seed + i) for i in range(batch)]
+        self._morton = bool(getattr(model.cloud_features, "presorted", False))
+
+        self._encode = jax.jit(
+            lambda v, pts, mask: model.apply(v, pts, mask, method=DeepCLR.encode)
+        )
+        self._register = jax.jit(
+            lambda v, f0, f1: model.apply(v, f0, f1, method=DeepCLR.register)
+        )
+
+    def reset_stream(self, i: int) -> None:
+        """Start a new sequence on lane ``i`` (next step only seeds state)."""
+        self._fresh[i] = True
+
+    def reset_all(self) -> None:
+        self._fresh[:] = True
+
+    def step(self, clouds) -> list:
+        """Advance every stream by one frame.
+
+        ``clouds``: sequence of B raw (N_i, D) arrays (one frame per
+        stream; lanes may differ in point count).  Returns a list of B
+        entries — (label_dim,) prediction, or ``None`` for lanes whose
+        stream just (re)started.  A finished stream can keep receiving its
+        last frame; ignore its outputs.
+        """
+        if len(clouds) != self._batch:
+            raise RuntimeError(
+                f"Expected {self._batch} clouds, got {len(clouds)}."
+            )
+        pts, masks = [], []
+        for i, cloud in enumerate(clouds):
+            cloud = np.asarray(cloud)
+            if cloud.shape[1] > self._input_dim:
+                cloud = cloud[:, : self._input_dim]
+            elif cloud.shape[1] < self._input_dim:
+                raise RuntimeError(f"Wrong point dimension in stream {i}.")
+            p, m = pad_cloud(cloud, self._num_points, self._rngs[i],
+                             morton=self._morton)
+            pts.append(p)
+            masks.append(m)
+        feats = self._encode(self._variables, np.stack(pts), np.stack(masks))
+
+        if self._state is None:
+            self._state = feats
+            self._fresh[:] = False
+            return [None] * self._batch
+
+        y = np.asarray(self._register(self._variables, self._state, feats))
+        out = [None if self._fresh[i] else y[i] for i in range(self._batch)]
+        self._state = feats
+        self._fresh[:] = False
+        return out

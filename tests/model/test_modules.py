@@ -124,6 +124,87 @@ def test_inference_helper_sequential_matches_pairwise():
     assert not seq.has_state()
 
 
+def test_batched_sequential_matches_single():
+    """B lock-step streams == B independent sequential helpers, including a
+    mid-run per-lane reset (new sequence on one lane only)."""
+    from deepclr_tpu.models import (
+        BatchedSequentialHelper, ModelInferenceHelper, build_model, init_params,
+    )
+
+    cfg = {
+        "input_dim": 3, "point_dim": 3,
+        "label_type": "pose3d_dual_quat", "model_type": "deepclr",
+        "params": {
+            "batch_norm": False, "dropout": 1.0,
+            "cloud_features": {"name": "SetAbstraction", "params": {
+                "npoint": [32], "radii": [[0.6, 1.2]], "nsamples": [[8, 16]],
+                "mlps": [[[8, 8, 16], [8, 8, 16]]]}},
+            "merge": {"name": "MotionEmbedding",
+                      "params": {"k": 4, "radius": 10.0, "mlp": [16, 32]}},
+            "output": {"name": "OutputSimple",
+                       "params": {"mlp": [32, 64], "linear": [64, 32]}},
+        },
+    }
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), num_points=128)
+
+    B, T = 3, 4
+    rng = np.random.default_rng(7)
+    streams = [[rng.normal(size=(128, 3)).astype(np.float32) * 3
+                for _ in range(T)] for _ in range(B)]
+
+    batched = BatchedSequentialHelper(model, variables, batch=B,
+                                      num_points=128, seed=0)
+    singles = [ModelInferenceHelper(model, variables, is_sequential=True,
+                                    num_points=128, seed=i) for i in range(B)]
+
+    for t in range(T):
+        if t == 2:
+            batched.reset_stream(1)
+            singles[1].reset_state()
+        got = batched.step([streams[i][t] for i in range(B)])
+        for i in range(B):
+            want = singles[i].predict(streams[i][t])
+            if want is None:
+                assert got[i] is None
+            else:
+                np.testing.assert_allclose(got[i], want, atol=1e-5)
+
+
+def test_pairwise_predict_batch_matches_single():
+    from deepclr_tpu.models import ModelInferenceHelper, build_model, init_params
+
+    cfg = {
+        "input_dim": 3, "point_dim": 3,
+        "label_type": "pose3d_dual_quat", "model_type": "deepclr",
+        "params": {
+            "batch_norm": False, "dropout": 1.0,
+            "cloud_features": {"name": "SetAbstraction", "params": {
+                "npoint": [32], "radii": [[0.6, 1.2]], "nsamples": [[8, 16]],
+                "mlps": [[[8, 8, 16], [8, 8, 16]]]}},
+            "merge": {"name": "MotionEmbedding",
+                      "params": {"k": 4, "radius": 10.0, "mlp": [16, 32]}},
+            "output": {"name": "OutputSimple",
+                       "params": {"mlp": [32, 64], "linear": [64, 32]}},
+        },
+    }
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), num_points=128)
+
+    rng = np.random.default_rng(3)
+    temps = [rng.normal(size=(128, 3)).astype(np.float32) * 3 for _ in range(2)]
+    srcs = [rng.normal(size=(128, 3)).astype(np.float32) * 3 for _ in range(2)]
+
+    helper = ModelInferenceHelper(model, variables, is_sequential=False,
+                                  num_points=128)
+    y = helper.predict_batch(srcs, temps)
+    assert y.shape[0] == 2
+    for i in range(2):
+        np.testing.assert_allclose(
+            y[i], helper.predict(srcs[i], temps[i]), atol=1e-5
+        )
+
+
 def _np_motion_embedding(f0, f1, idx, params, mlp_dims, radius, pd=3,
                          append=True):
     """Literal reference: concat [dpos | f0 | f1] (or [dpos | f1 - f0]) ->
