@@ -121,6 +121,39 @@ def test_inference_cli(workspace):
     assert data.shape[0] == N_FRAMES - 1
 
 
+def test_inference_cli_parallel_sequences(workspace):
+    """--parallel_sequences N: lock-step streams of different lengths produce
+    the same poses as the stream-at-a-time path (no subsampling at
+    num_points >= cloud size, so predictions are bit-equal)."""
+    ws, env = workspace
+    _write_sequence_pack(ws / "05.pack", n_frames=N_FRAMES - 4, seed=1)
+    scenario = {
+        "name": "kitti_two_seq",
+        "dataset_type": "kitti_odometry_velodyne",
+        "sequential": True,
+        "data": {"04": str(ws / "04.pack"), "05": str(ws / "05.pack")},
+    }
+    with open(ws / "scenario2.yaml", "w") as f:
+        yaml.dump(scenario, f)
+
+    outs = {}
+    for tag, extra in {"plain": [], "par": ["--parallel_sequences", "2"]}.items():
+        out_base = ws / f"out_{tag}"
+        _run([
+            osp.join(SCRIPTS, "inference.py"), str(ws / "scenario2.yaml"),
+            "toy", str(out_base), "--num_points", "384", *extra,
+        ], env)
+        run_dir = out_base / os.listdir(out_base)[0]
+        outs[tag] = run_dir
+
+    for seq, n in {"04": N_FRAMES - 1, "05": N_FRAMES - 5}.items():
+        plain = np.atleast_2d(np.loadtxt(outs["plain"] / f"{seq}.txt"))
+        par = np.atleast_2d(np.loadtxt(outs["par"] / f"{seq}.txt"))
+        assert plain.shape == par.shape == (n, 26)
+        # stamp + pred pose + gt pose identical; column 25 is timing
+        np.testing.assert_allclose(par[:, :25], plain[:, :25], atol=1e-5)
+
+
 def test_evaluation_cli_on_inference_output(workspace):
     ws, env = workspace
     out_base = ws / "out"
