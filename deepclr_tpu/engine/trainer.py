@@ -29,8 +29,8 @@ from ..evaluation import Evaluator
 from ..losses import make_loss_fn, make_metric_fns
 from ..models import build_model, init_params
 from ..parallel import (
-    is_primary, make_mesh_for_batch, process_count, process_index,
-    put_replicated, shard_batch,
+    allgather_host, is_primary, make_mesh_for_batch, process_count,
+    process_index, put_replicated, replicate_sharding, shard_batch,
 )
 from ..solver import make_optimizer, make_schedule
 from ..utils.logging import create_logger, create_summary_writer
@@ -275,8 +275,17 @@ def make_train_step(model, optimizer, loss_fn, metric_fns,
     return jax.jit(train_step, donate_argnums=0)
 
 
-def make_eval_step(model, metric_fns) -> Callable:
-    """Jitted validation step: (state, batch) -> (y_pred, metrics)."""
+def make_eval_step(model, metric_fns, mesh=None) -> Callable:
+    """Jitted validation step: (state, batch) -> (y_pred, metrics).
+
+    With ``mesh`` given, ``y_pred`` is constrained fully replicated: on a
+    multi-host mesh XLA all-gathers the DP-sharded predictions over ICI so
+    every host holds the full (global-batch, label_dim) array — this is
+    what keeps the trajectory/segment-error validation export alive on
+    pods (reference validation observability:
+    /root/reference/deepclr/engine/trainer.py:270-290).  Free single-host
+    (the constraint is a no-op on an already-addressable array).
+    """
 
     def eval_step(state: TrainState, batch):
         variables = {"params": state.params}
@@ -290,6 +299,10 @@ def make_eval_step(model, metric_fns) -> Callable:
             train=False,
         )
         metrics = {name: fn(y_pred, batch["y"]) for name, fn in metric_fns.items()}
+        if mesh is not None:
+            y_pred = jax.lax.with_sharding_constraint(
+                y_pred, replicate_sharding(mesh)
+            )
         return y_pred, metrics
 
     return jax.jit(eval_step)
@@ -395,7 +408,8 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
         use_model_loss=use_model_loss,
         weight_ema_decay=weight_ema_decay,
     )
-    eval_step = make_eval_step(model, {**metric_fns, "loss_fn": loss_fn})
+    eval_step = make_eval_step(model, {**metric_fns, "loss_fn": loss_fn},
+                               mesh=mesh)
 
     state = create_train_state(
         model, variables, optimizer,
@@ -440,10 +454,13 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
             return
         # Multi-host: eval_step's metric means are computed over the global
         # sharded batch and come back replicated, so the scalar validation
-        # is globally correct on every host.  The per-sample trajectory
-        # export needs the full y_pred on one host, which a DP-sharded
-        # array doesn't give us — that path stays single-host (odometry
-        # figures are an inference.py workflow on pods).
+        # is globally correct on every host.  For the trajectory/segment-
+        # error export (reference validation observability,
+        # /root/reference/deepclr/engine/trainer.py:270-290) the eval step
+        # replicates y_pred over ICI and the host-side per-sample metadata
+        # (gt label, name, stamp) is allgathered in the same process-major
+        # order; the primary host then runs the full export exactly as in
+        # the single-host path.
         multihost = process_count() > 1
         eval_export = Evaluator()
         sums: Dict[str, float] = {}
@@ -454,18 +471,25 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             count += 1
-            if multihost:
-                continue
-            y_pred_h = np.asarray(y_pred)
             y_gt_h = np.asarray(vbatch["y"])
+            names = list(vbatch.get("d", ["val"] * y_gt_h.shape[0]))
+            stamps = np.asarray(
+                [np.ravel(s)[-1] for s in
+                 vbatch.get("t", np.zeros(y_gt_h.shape[0]))],
+                dtype=np.float64,
+            )
+            if multihost:
+                y_gt_h = allgather_host(y_gt_h)
+                names = allgather_host_strings(names)
+                stamps = allgather_host(stamps)
+            if multihost and not primary:
+                continue
+            y_pred_h = np.asarray(y_pred)  # replicated: full global batch
             m_pred = np.asarray(label_type.to_matrix(y_pred_h))
             m_gt = np.asarray(label_type.to_matrix(y_gt_h))
-            names = vbatch.get("d", ["val"] * y_gt_h.shape[0])
-            stamps = vbatch.get("t", np.zeros(y_gt_h.shape[0]))
             for i in range(y_gt_h.shape[0]):
                 eval_export.add_transforms(
-                    str(names[i]), float(np.ravel(stamps[i])[-1]),
-                    m_pred[i], m_gt[i],
+                    str(names[i]), float(stamps[i]), m_pred[i], m_gt[i],
                 )
         if count == 0:
             return
@@ -479,8 +503,6 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
             return
         for k, v in means.items():
             writer.add_scalar(f"val/{k}", v, iteration)
-        if multihost:
-            return
         total_step = eval_export.get_total_step_errors()
         writer.add_scalar("val/step_t_err", total_step.mean.translation.kitti, iteration)
         writer.add_scalar("val/step_r_err", total_step.mean.rotation.kitti, iteration)

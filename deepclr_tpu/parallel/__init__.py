@@ -6,6 +6,8 @@ from .distributed import (
     process_index,
 )
 from .mesh import (
+    allgather_host,
+    allgather_host_strings,
     batch_sharding,
     make_mesh,
     make_mesh_for_batch,
@@ -15,6 +17,8 @@ from .mesh import (
 )
 
 __all__ = [
+    "allgather_host",
+    "allgather_host_strings",
     "make_mesh",
     "make_mesh_for_batch",
     "shard_batch",

@@ -18,7 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "batch_sharding", "replicate_sharding", "shard_batch",
-           "put_replicated"]
+           "put_replicated", "allgather_host", "allgather_host_strings"]
 
 BATCH_AXIS = "dp"
 
@@ -77,6 +77,37 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = BATCH_AXIS) -> dict:
         return x
 
     return {k: put(v) for k, v in batch.items()}
+
+
+def allgather_host(values: np.ndarray) -> np.ndarray:
+    """Concatenate per-process host arrays in process-index order.
+
+    Row order matches the global batch built by ``shard_batch``
+    (``jax.make_array_from_process_local_data`` lays shards out in mesh
+    device order, which is process-major for meshes built from
+    ``jax.devices()``), so host-side per-sample metadata gathered here
+    lines up with device-gathered model outputs.  Single-process: identity.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(values)
+    from jax.experimental import multihost_utils
+
+    out = np.asarray(multihost_utils.process_allgather(np.asarray(values)))
+    return out.reshape((-1,) + np.asarray(values).shape[1:])
+
+
+def allgather_host_strings(names, width: int = 96) -> list:
+    """Allgather a per-process list of strings (fixed-width UTF-8 ride on
+    the device collective; names longer than ``width`` bytes truncate)."""
+    if jax.process_count() == 1:
+        return [str(n) for n in names]
+    enc = np.zeros((len(names), width), dtype=np.uint8)
+    for i, n in enumerate(names):
+        b = str(n).encode("utf-8")[:width]
+        enc[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+    out = allgather_host(enc)
+    return [bytes(row[row != 0]).decode("utf-8", errors="replace")
+            for row in out]
 
 
 def put_replicated(tree, mesh: Mesh):
