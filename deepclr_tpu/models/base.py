@@ -48,11 +48,48 @@ def pad_cloud(points: np.ndarray, num_points: int,
     return out, mask
 
 
+def _quantize_u16(pts: np.ndarray):
+    """Per-cloud uint16 fixed-point quantization of a padded (P, D) cloud.
+
+    Halves the host->device upload (the dominant cost of single-stream
+    sequential latency on relayed/PCIe-attached chips): 16 bits/coord give
+    ~3 mm resolution over a +/-100 m LiDAR range, far below sensor noise.
+    Dequantization (q * scale + offset) runs inside the jitted encode.
+    """
+    lo = pts.min(axis=0)
+    scale = np.maximum(
+        (pts.max(axis=0) - lo) / 65535.0, 1e-12
+    ).astype(np.float32)
+    q = np.round((pts - lo) / scale).astype(np.uint16)
+    return q, lo.astype(np.float32), scale
+
+
+def _make_encode_fns(model, upload_dtype: str):
+    """(encode, encode_q): jitted encode from f32 clouds and, for
+    ``upload_dtype='uint16'``, from quantized uploads."""
+    encode = jax.jit(
+        lambda v, pts, mask: model.apply(v, pts, mask, method=DeepCLR.encode)
+    )
+    if upload_dtype == "float32":
+        return encode, None
+    if upload_dtype != "uint16":
+        raise ValueError(f"unsupported upload_dtype: {upload_dtype}")
+    import jax.numpy as jnp
+
+    def encode_q(v, q, offset, scale, mask):
+        pts = (q.astype(jnp.float32) * scale[:, None, :]
+               + offset[:, None, :])
+        return model.apply(v, pts, mask, method=DeepCLR.encode)
+
+    return encode, jax.jit(encode_q)
+
+
 class ModelInferenceHelper:
     """Stateful convenience wrapper over the pure encode/register functions."""
 
     def __init__(self, model: DeepCLR, variables, is_sequential: bool = False,
-                 num_points: int = 16384, seed: int = 0):
+                 num_points: int = 16384, seed: int = 0,
+                 upload_dtype: str = "float32"):
         self._model = model
         self._variables = variables
         self._input_dim = model.input_dim
@@ -64,9 +101,7 @@ class ModelInferenceHelper:
         # (models/pointnet2.py SetAbstractionMSG.presorted)
         self._morton = bool(getattr(model.cloud_features, "presorted", False))
 
-        self._encode = jax.jit(
-            lambda v, pts, mask: model.apply(v, pts, mask, method=DeepCLR.encode)
-        )
+        self._encode, self._encode_q = _make_encode_fns(model, upload_dtype)
         self._register = jax.jit(
             lambda v, f0, f1: model.apply(v, f0, f1, method=DeepCLR.register)
         )
@@ -90,6 +125,10 @@ class ModelInferenceHelper:
         cloud = self._check_dim(np.asarray(cloud), "cloud")
         pts, mask = pad_cloud(cloud, self._num_points, self._rng,
                               morton=self._morton)
+        if self._encode_q is not None:
+            q, lo, scale = _quantize_u16(pts)
+            return self._encode_q(self._variables, q[None], lo[None],
+                                  scale[None], mask[None])
         return self._encode(self._variables, pts[None], mask[None])
 
     def predict_batch(self, sources, templates) -> np.ndarray:
@@ -118,6 +157,15 @@ class ModelInferenceHelper:
                              morton=self._morton)
             pts.append(p)
             masks.append(m)
+        if self._encode_q is not None:
+            qs = [_quantize_u16(p) for p in pts]
+            return self._encode_q(
+                self._variables,
+                np.stack([q for q, _, _ in qs]),
+                np.stack([lo for _, lo, _ in qs]),
+                np.stack([s for _, _, s in qs]),
+                np.stack(masks),
+            )
         return self._encode(self._variables, np.stack(pts), np.stack(masks))
 
     def predict(self, source: np.ndarray,
@@ -169,7 +217,8 @@ class BatchedSequentialHelper:
     """
 
     def __init__(self, model: DeepCLR, variables, batch: int,
-                 num_points: int = 16384, seed: int = 0):
+                 num_points: int = 16384, seed: int = 0,
+                 upload_dtype: str = "float32"):
         self._model = model
         self._variables = variables
         self._input_dim = model.input_dim
@@ -182,9 +231,7 @@ class BatchedSequentialHelper:
         self._rngs = [np.random.default_rng(seed + i) for i in range(batch)]
         self._morton = bool(getattr(model.cloud_features, "presorted", False))
 
-        self._encode = jax.jit(
-            lambda v, pts, mask: model.apply(v, pts, mask, method=DeepCLR.encode)
-        )
+        self._encode, self._encode_q = _make_encode_fns(model, upload_dtype)
         self._register = jax.jit(
             lambda v, f0, f1: model.apply(v, f0, f1, method=DeepCLR.register)
         )
@@ -220,7 +267,18 @@ class BatchedSequentialHelper:
                              morton=self._morton)
             pts.append(p)
             masks.append(m)
-        feats = self._encode(self._variables, np.stack(pts), np.stack(masks))
+        if self._encode_q is not None:
+            qs = [_quantize_u16(p) for p in pts]
+            feats = self._encode_q(
+                self._variables,
+                np.stack([q for q, _, _ in qs]),
+                np.stack([lo for _, lo, _ in qs]),
+                np.stack([s for _, _, s in qs]),
+                np.stack(masks),
+            )
+        else:
+            feats = self._encode(self._variables, np.stack(pts),
+                                 np.stack(masks))
 
         if self._state is None:
             self._state = feats

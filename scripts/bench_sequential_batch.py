@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--n", type=int, default=16384)
     ap.add_argument("--frames", type=int, default=20,
                     help="timed frames per stream")
+    ap.add_argument("--upload_dtype", type=str, default="float32",
+                    choices=["float32", "uint16"],
+                    help="host->device cloud upload format (uint16 halves "
+                         "the per-step transfer)")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +53,8 @@ def main():
     variables = init_params(model, jax.random.PRNGKey(0),
                             num_points=args.n, batch_size=args.batch)
     helper = BatchedSequentialHelper(model, variables, batch=args.batch,
-                                     num_points=args.n)
+                                     num_points=args.n,
+                                     upload_dtype=args.upload_dtype)
 
     rng = np.random.default_rng(0)
     frames = [[_frame(rng, args.n) for _ in range(args.batch)]
@@ -65,7 +70,8 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = args.batch * args.frames / dt
-    print(f"batched sequential odometry: B={args.batch} streams x 16k pts")
+    print(f"batched sequential odometry: B={args.batch} streams x "
+          f"{args.n} pts")
     print(f"  {fps:.1f} frames/s total ({dt / args.frames * 1e3:.2f} ms/step,"
           f" {dt / args.frames / args.batch * 1e3:.3f} ms/frame)")
     print(f"  per-stream rate: {args.frames / dt:.1f} frames/s "
