@@ -29,8 +29,9 @@ from ..evaluation import Evaluator
 from ..losses import make_loss_fn, make_metric_fns
 from ..models import build_model, init_params
 from ..parallel import (
-    allgather_host, is_primary, make_mesh_for_batch, process_count,
-    process_index, put_replicated, replicate_sharding, shard_batch,
+    allgather_host, allgather_host_strings, is_primary, make_mesh_for_batch,
+    process_count, process_index, put_replicated, replicate_sharding,
+    shard_batch,
 )
 from ..solver import make_optimizer, make_schedule
 from ..utils.logging import create_logger, create_summary_writer

@@ -63,6 +63,7 @@ def _write_cfg(ws: Path, name: str, batch_size: int) -> Path:
         "identifier": name,
         "seed": 3,
         "data": {"training": str(ws / "train.pack"),
+                 "validation": str(ws / "train.pack"),
                  "dataset_type": "kitti_odometry_velodyne",
                  "sequential": True},
         # no augmentation transforms: shard-order-invariant batch content
@@ -112,12 +113,16 @@ def _env(n_devices: int, extra=None) -> dict:
     return env
 
 
-def _loss_series(base_dir: Path) -> list:
+def _scalars(base_dir: Path) -> list:
     files = sorted(base_dir.glob("*/scalars.jsonl"))
     assert len(files) == 1, f"expected one scalars.jsonl, got {files}"
+    return [json.loads(line) for line in files[0].read_text().splitlines()
+            if "tag" in line]
+
+
+def _loss_series(base_dir: Path) -> list:
     series = {}
-    for line in files[0].read_text().splitlines():
-        rec = json.loads(line)
+    for rec in _scalars(base_dir):
         if rec.get("tag") == "train/loss_fn":
             series[rec["step"]] = rec["value"]
     return [series[k] for k in sorted(series)]
@@ -182,3 +187,14 @@ def test_two_process_distributed_matches_single_process(tmp_path):
     assert len(two) == ITERATIONS
     np.testing.assert_allclose(np.asarray(two), np.asarray(single),
                                rtol=5e-3, atol=1e-5)
+
+    # validation observability survives multihost: the primary rank
+    # produces the SAME val/* scalar set as the single-process run
+    # (scalar means AND the gathered trajectory/segment-error export)
+    val_single = {r["tag"] for r in _scalars(ws / "single")
+                  if r.get("tag", "").startswith("val/")}
+    val_two = {r["tag"] for r in _scalars(ws / "twoproc")
+               if r.get("tag", "").startswith("val/")}
+    assert val_single, "single-process run produced no val scalars"
+    assert val_two == val_single, (val_two, val_single)
+    assert "val/step_t_err" in val_two
