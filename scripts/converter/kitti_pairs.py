@@ -64,6 +64,10 @@ def main():
     os.makedirs(kitti_pairs_path, exist_ok=True)
 
     for seq in SEQUENCES:
+        if not osp.isdir(osp.join(kitti_base_path, "sequences", seq,
+                                  "velodyne")):
+            print(f"Skip sequence {seq} (no velodyne data)")
+            continue
         print(f"Convert sequence {seq}")
         convert_sequence(
             kitti_base_path, seq, osp.join(kitti_pairs_path, f"{seq}.pack")

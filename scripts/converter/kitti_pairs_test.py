@@ -45,6 +45,9 @@ def main():
     os.makedirs(kitti_pairs_test_path, exist_ok=True)
 
     for seq in SEQUENCES:
+        if not osp.isfile(osp.join(kitti_pairs_path, f"{seq}.pack")):
+            print(f"Skip sequence {seq} (no pairs pack)")
+            continue
         print(f"Process sequence {seq}")
         convert_sequence(
             osp.join(kitti_pairs_path, f"{seq}.pack"),
