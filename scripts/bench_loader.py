@@ -90,6 +90,9 @@ def main():
     ap.add_argument("--workers", type=int, default=6)
     ap.add_argument("--device-step-ms", type=float, default=31.9)
     ap.add_argument("--pack", type=str, default="/tmp/bench_loader.pack")
+    ap.add_argument("--sweep", action="store_true",
+                    help="worker scaling curve: process workers at 1/2/4/8 "
+                         "(plus single-thread baseline)")
     args = ap.parse_args()
 
     pack = Path(args.pack)
@@ -107,6 +110,23 @@ def main():
     # 16 clouds, ops/pallas/fps_kernel.py) or at conversion time
     # (ModelNet). This measures the configured KITTI chain: truncate,
     # erase, range-select, random transform, noise, pad+mask batching.
+    if args.sweep:
+        # scaling curve (weakness: the dev container exposes ONE core, so
+        # multi-worker numbers here measure scheduling overhead, not
+        # scaling — run on a many-core host for the real curve; both
+        # results belong in docs/data.md)
+        import os
+        print(f"host cores visible: {os.cpu_count()}")
+        variants = [("thread", 0)] + [("process", w) for w in (1, 2, 4, 8)]
+        for wt, workers in variants:
+            cfg = make_cfg(pack, args.batch, args.num_points, workers, wt,
+                           host_fps=False)
+            rate = measure(cfg)
+            verdict = "OK" if rate >= device_steps else "STARVES"
+            print(f"{wt:7s} x{workers}: {rate:6.2f} batches/s [{verdict}]",
+                  flush=True)
+        return
+
     for wt, workers in [("thread", 0), ("thread", args.workers),
                         ("process", args.workers)]:
         cfg = make_cfg(pack, args.batch, args.num_points, workers, wt,
