@@ -149,8 +149,13 @@ def main():
 
     print(f"\n{'backward variant':>32}: {'ms':>8}  scalar dev")
     bwd_ref = None
+    # r4: added the mid-size tilings between the r3 sweep's extremes —
+    # the cliff was observed at 64 unrolled bodies (16/32/32); 32-body
+    # variants sit between the known-good 16 and the cliff's 64
     for tile, stream, inner in ((64, 16, 16), (64, 16, 8), (64, 8, 8),
-                                (256, 16, 16), (64, 32, 16), (128, 8, 8)):
+                                (256, 16, 16), (64, 32, 16), (128, 8, 8),
+                                (32, 16, 16), (32, 32, 32), (32, 32, 16),
+                                (64, 32, 32), (128, 16, 16), (16, 16, 16)):
         fn = make_bwd(tile, stream, inner)
         try:
             val = float(np.asarray(fn(xyz_s, centers_s, feats_s)))
