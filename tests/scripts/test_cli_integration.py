@@ -195,3 +195,35 @@ def test_icp_cli(workspace):
     assert txt.exists()
     data = np.atleast_2d(np.loadtxt(txt))
     assert data.shape[0] == N_FRAMES - 1
+
+
+def test_timing_cli(workspace):
+    """timing.py contract: one wall-ms line per pair, then the r4 summary
+    lines splitting wall vs compute-only (device-resident input)."""
+    ws, env = workspace
+    cfg = {
+        "base_dir": str(ws),
+        "identifier": "timing",
+        "data": {"validation": str(ws / "04.pack"),
+                 "dataset_type": "kitti_odometry_velodyne",
+                 "sequential": True},
+        "data_loader": {"batch_size": 1, "num_points": 256,
+                        "num_workers": 0, "buffer_size": 0},
+        "model": MODEL_CFG,
+        "optimizer": {"max_iterations": 1},
+    }
+    with open(ws / "timing.yaml", "w") as f:
+        yaml.dump(cfg, f)
+
+    for extra in ([], ["--sequential", "--upload_dtype", "uint16"]):
+        result = _run([
+            osp.join(SCRIPTS, "timing.py"), str(ws / "timing.yaml"), *extra,
+        ], env)
+        lines = [ln for ln in result.stdout.splitlines() if ln.strip()]
+        ms_lines = [float(ln) for ln in lines
+                    if not ln.startswith("#") and ":" not in ln]
+        assert len(ms_lines) == N_FRAMES - 1
+        assert all(m > 0 for m in ms_lines)
+        summary = [ln for ln in lines if ln.startswith("#")]
+        assert any("compute-only" in ln for ln in summary)
+        assert any("wall ms/frame" in ln for ln in summary)
