@@ -750,7 +750,7 @@ def ball_mlp_max_bwd_pallas(xyz, centers, weights, biases, radius, g, out,
                             stream: int = 16, inner: int = 16,
                             compute_dtype=jnp.bfloat16,
                             interpret: bool = False, d2_mode: str = "f32",
-                            cull: str = "exact"):
+                            cull: str = "exact", center_splits: int = 1):
     """Equality-select backward for ball_mlp_max_pallas.
 
     Args:
@@ -775,12 +775,49 @@ def ball_mlp_max_bwd_pallas(xyz, centers, weights, biases, radius, g, out,
     (slices x n_tiles) loop at the forward's tiling tips Mosaic into a
     pathological codegen regime — measured 102 ms vs 17 ms at the
     flagship shape (B16 x 16k pts, P=1024) for bit-identical results.
+
+    ``center_splits`` > 1 escapes that cliff structurally: the P centers
+    are split into that many independent pallas_calls, each with P/splits
+    centers resident — the unrolled body count (and thus Mosaic's program
+    size) shrinks by the split factor while the CULLING granularity stays
+    at ``center_tile``.  Cost: the point stream re-runs per split, but
+    that is HBM traffic (~10 GB/s-scale per pass), not a relay transfer —
+    measured in the tile sweep.  Gradients combine exactly (per-center
+    outputs concatenate; per-point/weight cotangents sum — linearity of
+    the loss over disjoint center sets).
     """
     center_tile, stream, inner = _tile_sizes(
         xyz, centers, weights, center_tile, stream, inner
     )
-    return _ball_mlp_bwd_impl(
-        xyz, centers, tuple(weights), tuple(biases), radius, g, out,
-        features, mask, center_tile, stream, inner, compute_dtype,
-        interpret, d2_mode=d2_mode, cull=cull,
-    )
+    p = centers.shape[1]
+    splits = max(1, int(center_splits))
+    while splits > 1 and (p % splits or (p // splits) % center_tile):
+        splits -= 1
+    if splits == 1:
+        return _ball_mlp_bwd_impl(
+            xyz, centers, tuple(weights), tuple(biases), radius, g, out,
+            features, mask, center_tile, stream, inner, compute_dtype,
+            interpret, d2_mode=d2_mode, cull=cull,
+        )
+    ps = p // splits
+    da = None
+    dbc_parts = []
+    dw_sum = None
+    db_sum = None
+    for s in range(splits):
+        lo = s * ps
+        da_s, dbc_s, dw_s, db_s = _ball_mlp_bwd_impl(
+            xyz, centers[:, lo:lo + ps], tuple(weights), tuple(biases),
+            radius, g[:, lo:lo + ps], out[:, lo:lo + ps],
+            features, mask, center_tile, stream, inner, compute_dtype,
+            interpret, d2_mode=d2_mode, cull=cull,
+        )
+        da = da_s if da is None else da + da_s
+        dbc_parts.append(dbc_s)
+        if dw_sum is None:
+            dw_sum, db_sum = list(dw_s), list(db_s)
+        else:
+            dw_sum = [acc + w for acc, w in zip(dw_sum, dw_s)]
+            db_sum = [acc + bb for acc, bb in zip(db_sum, db_s)]
+    return (da, jnp.concatenate(dbc_parts, axis=1),
+            tuple(dw_sum), tuple(db_sum))

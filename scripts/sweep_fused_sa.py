@@ -137,35 +137,41 @@ def main():
     out_ref = jnp.asarray(ref_out)
     g = jnp.ones_like(out_ref)
 
-    def make_bwd(tile, stream, inner):
+    def make_bwd(tile, stream, inner, splits=1):
         def fn(xyz_s, centers_s, feats_s):
             res = ball_mlp_max_bwd_pallas(
                 xyz_s, centers_s, weights, biases, radius_cols, g, out_ref,
                 features=feats_s, compute_dtype=jnp.bfloat16,
                 center_tile=tile, stream=stream, inner=inner,
+                center_splits=splits,
             )
             return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(res))
         return jax.jit(fn)
 
     print(f"\n{'backward variant':>32}: {'ms':>8}  scalar dev")
     bwd_ref = None
-    # r4: added the mid-size tilings between the r3 sweep's extremes —
-    # the cliff was observed at 64 unrolled bodies (16/32/32); 32-body
-    # variants sit between the known-good 16 and the cliff's 64
-    for tile, stream, inner in ((64, 16, 16), (64, 16, 8), (64, 8, 8),
-                                (256, 16, 16), (64, 32, 16), (128, 8, 8),
-                                (32, 16, 16), (32, 32, 32), (32, 32, 16),
-                                (64, 32, 32), (128, 16, 16), (16, 16, 16)):
-        fn = make_bwd(tile, stream, inner)
+    # r4: mid-size tilings between the r3 sweep's extremes, plus
+    # center-split variants — fine (cull-optimal) center tiles with the
+    # unrolled program size divided across independent pallas_calls
+    # (the cliff was observed at 64 unrolled bodies, 16/32/32)
+    for tile, stream, inner, splits in (
+            (64, 16, 16, 1), (64, 16, 8, 1), (64, 8, 8, 1),
+            (256, 16, 16, 1), (64, 32, 16, 1), (128, 8, 8, 1),
+            (32, 16, 16, 1), (32, 32, 32, 1), (32, 32, 16, 1),
+            (64, 32, 32, 1), (16, 16, 16, 1),
+            (16, 32, 32, 4), (16, 32, 32, 2), (32, 32, 32, 2),
+            (16, 16, 16, 4), (16, 32, 32, 8), (64, 32, 32, 2)):
+        fn = make_bwd(tile, stream, inner, splits)
+        tag = f"bwd t{tile}/s{stream}/i{inner}" + (
+            f"/x{splits}" if splits > 1 else "")
         try:
             val = float(np.asarray(fn(xyz_s, centers_s, feats_s)))
             ms = timeit(fn, xyz_s, centers_s, feats_s, iters=args.iters)
             if bwd_ref is None:
                 bwd_ref = val
-            print(f"{f'bwd t{tile}/s{stream}/i{inner}':>32}: {ms:8.2f}  "
-                  f"{abs(val - bwd_ref):.3e}")
+            print(f"{tag:>32}: {ms:8.2f}  {abs(val - bwd_ref):.3e}")
         except Exception as e:  # pragma: no cover
-            print(f"{f'bwd t{tile}/s{stream}/i{inner}':>32}: FAILED {e}")
+            print(f"{tag:>32}: FAILED {e}")
 
 
 if __name__ == "__main__":

@@ -363,3 +363,42 @@ def test_padding_points_never_contribute():
         features=jnp.asarray(feat2), mask=mask, compute_dtype=jnp.float32,
     ))
     np.testing.assert_allclose(out1, out2, atol=1e-6)
+
+
+def test_kernel_backward_center_splits_exact():
+    """center_splits > 1 must be bit-identical to the single-call backward:
+    per-center outputs concatenate, per-point/weight cotangents sum
+    (linearity over disjoint center sets)."""
+    from deepclr_tpu.ops.pallas.fused_sa_kernel import (
+        ball_mlp_max_bwd_pallas,
+        ball_mlp_max_pallas,
+    )
+
+    xyz, feat, mask = _data(seed=31)
+    centers = xyz[:, :P, :]
+    sw, sb = _params(seed=32)
+    weights, biases, radius_cols = multi_scale_bundle(sw, sb, (0.8, 1.5))
+
+    out = ball_mlp_max_pallas(
+        xyz, centers, weights, biases, radius_cols, features=feat,
+        mask=mask, compute_dtype=jnp.float32, interpret=True,
+    )
+    g = jnp.asarray(
+        np.random.default_rng(33).normal(size=out.shape).astype(np.float32)
+    )
+
+    kwargs = dict(features=feat, mask=mask, compute_dtype=jnp.float32,
+                  interpret=True, center_tile=8, stream=16, inner=16)
+    ref = ball_mlp_max_bwd_pallas(
+        xyz, centers, weights, biases, radius_cols, g, out,
+        center_splits=1, **kwargs,
+    )
+    for splits in (2, 4):
+        split = ball_mlp_max_bwd_pallas(
+            xyz, centers, weights, biases, radius_cols, g, out,
+            center_splits=splits, **kwargs,
+        )
+        for r, s in zip(jax.tree_util.tree_leaves(ref),
+                        jax.tree_util.tree_leaves(split)):
+            np.testing.assert_allclose(np.asarray(s), np.asarray(r),
+                                       atol=1e-5)
