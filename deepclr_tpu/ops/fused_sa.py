@@ -261,12 +261,21 @@ def _kernel_grads(xyz, centers, weights, biases, features, m, out, g,
 
     No argmax tracking in the forward and no (B, P*H3)-row winner gather —
     both measured multi-ms at KITTI scale (see docs/kernels.md)."""
+    import os
+
     from .pallas.fused_sa_kernel import ball_mlp_max_bwd_pallas
 
+    # backward tile config "tile,stream,inner,splits" — default from the
+    # hardware sweep (scripts/sweep_fused_sa.py --backward, docs/kernels.md);
+    # DEEPCLR_SA_BWD_TILES overrides for A/B
+    tiles = os.environ.get("DEEPCLR_SA_BWD_TILES", "64,16,16,1")
+    center_tile, stream, inner, splits = (int(x) for x in tiles.split(","))
     da, dbc, dw_tail, db_tail = ball_mlp_max_bwd_pallas(
         xyz, centers, weights, biases, radius_t, g, out,
         features=features, mask=m[..., 0] > 0.5,
         compute_dtype=compute_dtype, interpret=interpret,
+        center_tile=center_tile, stream=stream, inner=inner,
+        center_splits=splits,
     )
     w1 = weights[0]
     w1x = w1[:3].astype(jnp.float32)
