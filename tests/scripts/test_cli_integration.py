@@ -227,3 +227,34 @@ def test_timing_cli(workspace):
         summary = [ln for ln in lines if ln.startswith("#")]
         assert any("compute-only" in ln for ln in summary)
         assert any("wall ms/frame" in ln for ln in summary)
+
+
+def test_inference_cli_batched_pairwise(workspace):
+    """--parallel_sequences on a NON-sequential scenario batches pairs
+    through predict_batch; poses match the pair-at-a-time path bit-for-bit
+    when clouds fit num_points (no subsampling)."""
+    ws, env = workspace
+    scenario = {
+        "name": "kitti_pairwise",
+        "dataset_type": "kitti_odometry_velodyne",
+        "sequential": False,
+        "data": {"04": str(ws / "04.pack")},
+    }
+    with open(ws / "scenario_pw.yaml", "w") as f:
+        yaml.dump(scenario, f)
+
+    outs = {}
+    for tag, extra in {"plain": [], "bat": ["--parallel_sequences", "3"]}.items():
+        out_base = ws / f"out_pw_{tag}"
+        _run([
+            osp.join(SCRIPTS, "inference.py"), str(ws / "scenario_pw.yaml"),
+            "toy", str(out_base), "--num_points", "384", *extra,
+        ], env)
+        outs[tag] = out_base / os.listdir(out_base)[0]
+
+    plain = np.atleast_2d(np.loadtxt(outs["plain"] / "04.txt"))
+    bat = np.atleast_2d(np.loadtxt(outs["bat"] / "04.txt"))
+    # N_FRAMES-1 pairs; batch 3 leaves a padded tail chunk whose extra
+    # lanes must be discarded, not recorded
+    assert plain.shape == bat.shape == (N_FRAMES - 1, 26)
+    np.testing.assert_allclose(bat[:, :25], plain[:, :25], atol=1e-5)
