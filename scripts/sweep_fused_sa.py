@@ -43,6 +43,10 @@ def main():
                     help="also sweep the equality-select backward kernel's "
                          "tile axis (compiles are slow at unrolled-heavy "
                          "tilings; see docs/kernels.md)")
+    ap.add_argument("--bwd-configs", type=str, default=None,
+                    help="comma list 'tile/stream/inner/splits' to restrict "
+                         "the backward sweep (each compile is 20-120 s on "
+                         "the remote-compile path)")
     args = ap.parse_args()
 
     from deepclr_tpu.models import build_model, init_params
@@ -154,13 +158,21 @@ def main():
     # center-split variants — fine (cull-optimal) center tiles with the
     # unrolled program size divided across independent pallas_calls
     # (the cliff was observed at 64 unrolled bodies, 16/32/32)
-    for tile, stream, inner, splits in (
-            (64, 16, 16, 1), (64, 16, 8, 1), (64, 8, 8, 1),
-            (256, 16, 16, 1), (64, 32, 16, 1), (128, 8, 8, 1),
-            (32, 16, 16, 1), (32, 32, 32, 1), (32, 32, 16, 1),
-            (64, 32, 32, 1), (16, 16, 16, 1),
-            (16, 32, 32, 4), (16, 32, 32, 2), (32, 32, 32, 2),
-            (16, 16, 16, 4), (16, 32, 32, 8), (64, 32, 32, 2)):
+    all_configs = (
+        (64, 16, 16, 1), (64, 16, 8, 1), (64, 8, 8, 1),
+        (256, 16, 16, 1), (64, 32, 16, 1), (128, 8, 8, 1),
+        (32, 16, 16, 1), (32, 32, 32, 1), (32, 32, 16, 1),
+        (64, 32, 32, 1), (16, 16, 16, 1),
+        (16, 32, 32, 4), (16, 32, 32, 2), (32, 32, 32, 2),
+        (16, 16, 16, 4), (16, 32, 32, 8), (64, 32, 32, 2))
+    if args.bwd_configs:
+        want = [tuple(int(x) for x in c.split("/"))
+                for c in args.bwd_configs.split(",")]
+        configs = [c for c in all_configs if c in want] + [
+            c for c in want if c not in all_configs]
+    else:
+        configs = all_configs
+    for tile, stream, inner, splits in configs:
         fn = make_bwd(tile, stream, inner, splits)
         tag = f"bwd t{tile}/s{stream}/i{inner}" + (
             f"/x{splits}" if splits > 1 else "")
