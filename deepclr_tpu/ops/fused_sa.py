@@ -268,7 +268,11 @@ def _kernel_grads(xyz, centers, weights, biases, features, m, out, g,
     # backward tile config "tile,stream,inner,splits" — default from the
     # hardware sweep (scripts/sweep_fused_sa.py --backward, docs/kernels.md);
     # DEEPCLR_SA_BWD_TILES overrides for A/B
-    tiles = os.environ.get("DEEPCLR_SA_BWD_TILES", "64,16,16,1")
+    # r4 hardware sweep (B16 x 16k, P=1024): the forward's cull-optimal
+    # fine tiles win once center_splits caps the unrolled program size —
+    # 13.9 ms vs 19.1 ms at the r3 default 64,16,16,1 (docs/kernels.md);
+    # 2-split (32-body) and stream-64 variants hit the Mosaic cliff (60 ms)
+    tiles = os.environ.get("DEEPCLR_SA_BWD_TILES", "16,32,32,4")
     center_tile, stream, inner, splits = (int(x) for x in tiles.split(","))
     da, dbc, dw_tail, db_tail = ball_mlp_max_bwd_pallas(
         xyz, centers, weights, biases, radius_t, g, out,
