@@ -58,6 +58,12 @@ def ensure_trained(env, args, log):
         print(f"training: finished experiment present: {exp.name}",
               flush=True)
         return exp
+    # cross-round resume: a previous (killed) session's checkpoints live in
+    # earlier experiment dirs under MODEL_PATH — continue from the newest
+    # real checkpoint instead of restarting the 50k schedule
+    ckpts = [c for c in models.glob("*/ckpt*.msgpack") if not c.is_symlink()]
+    resume = max(ckpts, key=os.path.getmtime) if ckpts else None
+
     cfg_path = Path(args.workdir) / "train_long.yaml"
     cfg = {
         "extends": str(REPO / "configs" / "training"
@@ -76,8 +82,12 @@ def ensure_trained(env, args, log):
     }
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)
-    sh([sys.executable, REPO / "scripts" / "train_supervised.py", cfg_path,
-        "--rss-limit-gb", args.rss_limit_gb], env, log)
+    cmd = [sys.executable, REPO / "scripts" / "train_supervised.py",
+           cfg_path, "--rss-limit-gb", args.rss_limit_gb]
+    if resume is not None:
+        print(f"resuming from {resume}", flush=True)
+        cmd += ["--ckpt", resume]
+    sh(cmd, env, log)
     done = sorted(models.glob("*/ckpt_final_*.msgpack"), key=os.path.getmtime)
     assert done, "training finished but no final checkpoint"
     return done[-1].parent
