@@ -43,6 +43,8 @@ def main():
                     help="also sweep the equality-select backward kernel's "
                          "tile axis (compiles are slow at unrolled-heavy "
                          "tilings; see docs/kernels.md)")
+    ap.add_argument("--skip-forward", action="store_true",
+                    help="skip the forward variant sweep (baseline only)")
     ap.add_argument("--bwd-configs", type=str, default=None,
                     help="comma list 'tile/stream/inner/splits' to restrict "
                          "the backward sweep (each compile is 20-120 s on "
@@ -106,12 +108,13 @@ def main():
     print(f"{'variant':>32}: {'ms':>8}  max|dev|", flush=True)
     print(f"{'f32 d2, t16/s32/i32 (base)':>32}: {ref_ms:8.2f}  0")
 
-    variants = [("bf16", 16, 32, 32)]
+    variants = [] if args.skip_forward else [("bf16", 16, 32, 32)]
     # tile-shape axis under the (default) f32 d2 mode — the original sweep's
     # tile readings were confounded by the since-removed "split" mode
-    for tile, stream, inner in ((32, 32, 32), (8, 32, 32), (16, 64, 64),
-                                (16, 64, 32), (32, 64, 64), (16, 32, 16)):
-        variants.append(("f32", tile, stream, inner))
+    if not args.skip_forward:
+        for tile, stream, inner in ((32, 32, 32), (8, 32, 32), (16, 64, 64),
+                                    (16, 64, 32), (32, 64, 64), (16, 32, 16)):
+            variants.append(("f32", tile, stream, inner))
 
     for mode, tile, stream, inner in variants:
         fn = make(mode, tile, stream, inner)
