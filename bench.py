@@ -139,6 +139,25 @@ def main():
     np.asarray(tout)
     train_pairs_per_sec = batch * iters / (time.perf_counter() - t0)
 
+    # loader guardrail: the in-line host loader must outrun the device's
+    # batch demand at the measured train-step time, or the chip starves
+    # (docs/data.md — headroom was ~2x at r4 and shrinks as training gets
+    # faster).  Tracked here so every BENCH_r*.json records the ratio.
+    loader_rate = loader_headroom = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+        from bench_loader import build_pack, make_cfg, measure
+
+        pack = "/tmp/bench_guardrail.pack"
+        if not os.path.exists(pack):
+            build_pack(pack, clouds=32, raw_points=60000)
+        cfg_l = make_cfg(pack, batch, n, 0, "thread", host_fps=False)
+        loader_rate = measure(cfg_l, max_batches=8)
+        demand_steps = train_pairs_per_sec / batch
+        loader_headroom = loader_rate / demand_steps
+    except Exception as e:  # never fail the bench on the guardrail probe
+        print(f"bench: loader guardrail probe failed: {e}", file=sys.stderr)
+
     from deepclr_tpu.utils.flops import (
         mfu, model_flops_per_pair, peak_flops_per_chip,
     )
@@ -157,6 +176,12 @@ def main():
         # fwd+bwd (training) rate on the same pairs
         "train_pairs_per_sec": round(train_pairs_per_sec, 2),
         "batch": batch,
+        # host in-line loader batches/s and its ratio over device demand
+        # (train steps/s); <1.0 means the host starves the chip
+        "loader_batches_per_sec": (
+            round(loader_rate, 2) if loader_rate else None),
+        "loader_headroom": (
+            round(loader_headroom, 2) if loader_headroom else None),
     }))
 
 

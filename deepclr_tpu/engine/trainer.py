@@ -29,7 +29,8 @@ from ..evaluation import Evaluator
 from ..losses import make_loss_fn, make_metric_fns
 from ..models import build_model, init_params
 from ..parallel import (
-    allgather_host, allgather_host_strings, is_primary, make_mesh_for_batch,
+    allgather_host, allgather_host_f64, allgather_host_strings, is_primary,
+    make_mesh_for_batch,
     process_count, process_index, put_replicated, replicate_sharding,
     shard_batch,
 )
@@ -482,7 +483,7 @@ def run_trainer(cfg, model, variables, train_loader, val_loader, optimizer,
             if multihost:
                 y_gt_h = allgather_host(y_gt_h)
                 names = allgather_host_strings(names)
-                stamps = allgather_host(stamps)
+                stamps = allgather_host_f64(stamps)
             if multihost and not primary:
                 continue
             y_pred_h = np.asarray(y_pred)  # replicated: full global batch

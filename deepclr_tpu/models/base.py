@@ -242,6 +242,10 @@ class BatchedSequentialHelper:
 
     def reset_all(self) -> None:
         self._fresh[:] = True
+        # drop previous-group features so the next step() only seeds state
+        # (a retained _state would trigger one dead register dispatch whose
+        # outputs are discarded via _fresh)
+        self._state = None
 
     def step(self, clouds) -> list:
         """Advance every stream by one frame.

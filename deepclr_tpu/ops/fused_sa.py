@@ -252,8 +252,24 @@ def _winner_grads(xyz, centers, weights, biases, features, jstar, g):
     return dxyz, dcenters, dweights, dbiases, dfeatures
 
 
+def _parse_bwd_tiles(tiles: str):
+    """Parse a 'center_tile,stream,inner,splits' backward tile config
+    (the DEEPCLR_SA_BWD_TILES format) with a clear error on bad input."""
+    try:
+        parts = [int(x) for x in tiles.split(",")]
+        if len(parts) != 4 or any(p <= 0 for p in parts):
+            raise ValueError
+    except ValueError:
+        raise ValueError(
+            f"DEEPCLR_SA_BWD_TILES={tiles!r} is invalid: expected four "
+            "positive integers 'center_tile,stream,inner,splits' "
+            "(e.g. '16,32,32,4')"
+        ) from None
+    return parts
+
+
 def _kernel_grads(xyz, centers, weights, biases, features, m, out, g,
-                  radius_t, compute_dtype, interpret):
+                  radius_t, compute_dtype, interpret, residuals=None):
     """Equality-select backward: one culled streaming Pallas pass
     accumulates the tail-layer gradients plus the layer-1 term cotangents
     (da for ``a = x·W1x + f·W1f + b1``, dbc for ``bc = -c·W1x``); the
@@ -273,13 +289,13 @@ def _kernel_grads(xyz, centers, weights, biases, features, m, out, g,
     # 13.9 ms vs 19.1 ms at the r3 default 64,16,16,1 (docs/kernels.md);
     # 2-split (32-body) and stream-64 variants hit the Mosaic cliff (60 ms)
     tiles = os.environ.get("DEEPCLR_SA_BWD_TILES", "16,32,32,4")
-    center_tile, stream, inner, splits = (int(x) for x in tiles.split(","))
+    center_tile, stream, inner, splits = _parse_bwd_tiles(tiles)
     da, dbc, dw_tail, db_tail = ball_mlp_max_bwd_pallas(
         xyz, centers, weights, biases, radius_t, g, out,
         features=features, mask=m[..., 0] > 0.5,
         compute_dtype=compute_dtype, interpret=interpret,
         center_tile=center_tile, stream=stream, inner=inner,
-        center_splits=splits,
+        center_splits=splits, residuals=residuals,
     )
     w1 = weights[0]
     w1x = w1[:3].astype(jnp.float32)
@@ -366,8 +382,18 @@ def ball_mlp_max(xyz, centers, weights, biases, radius: Radius,
 
     def f_fwd(xyz, centers, weights, biases, features, m):
         if mode == "kernel":
-            out = f(xyz, centers, weights, biases, features, m)
-            return out, (xyz, centers, weights, biases, features, m, out)
+            # run the kernel ONCE, keeping its packed point operands and
+            # cull bitmap as residuals — the backward otherwise re-packs
+            # geo/a and re-runs the N x P cull pre-pass per center-split
+            # (the r4 double prologue, docs/kernels.md)
+            out, res_pack = ball_mlp_max_pallas(
+                xyz, centers, weights, biases, radius_t,
+                features=features, mask=m[..., 0] > 0.5,
+                compute_dtype=compute_dtype, interpret=not use_pallas,
+                return_residuals=True,
+            )
+            return out, (xyz, centers, weights, biases, features, m, out,
+                         res_pack)
         if mode == "argmax":
             # run the argmax-tracking kernel ONCE here: its value output is
             # identical to the plain kernel's, and stashing the winner
@@ -386,14 +412,17 @@ def ball_mlp_max(xyz, centers, weights, biases, radius: Radius,
         )
 
     def f_bwd(res, g):
-        xyz, centers, weights, biases, features, m, aux = res
         if mode == "kernel":
+            (xyz, centers, weights, biases, features, m, out,
+             res_pack) = res
             dxyz, dcenters, dweights, dbiases, dfeatures = _kernel_grads(
-                xyz, centers, weights, biases, features, m, aux, g,
+                xyz, centers, weights, biases, features, m, out, g,
                 radius_t, compute_dtype, interpret=not use_pallas,
+                residuals=res_pack,
             )
             return (dxyz, dcenters, dweights, dbiases, dfeatures,
                     jnp.zeros_like(m))
+        xyz, centers, weights, biases, features, m, aux = res
         if mode == "argmax":
             dxyz, dcenters, dweights, dbiases, dfeatures = _winner_grads(
                 xyz, centers, weights, biases, features, aux, g

@@ -243,29 +243,30 @@ def _make_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
 
 def _prologue(xyz, centers, weights, biases, radius, features, mask,
               center_tile: int, stream: int, inner: int, compute_dtype,
-              interpret: bool, cull: str):
+              interpret: bool, cull: str, reuse=None):
     """Shared fwd/bwd packing: lane groups, layer-1 terms, culling bitmap,
     block-diagonal tail weights.  Returns a dict of kernel operands; the
     backward pass MUST see bit-identical packed inputs so its recomputed
-    activations match the forward's winners exactly."""
+    activations match the forward's winners exactly.
+
+    ``reuse``: optional dict of forward residuals — ``geo``/``a_p`` (the
+    packed point operands, tiling-independent) and/or ``active`` (the cull
+    bitmap at THIS (center_tile, inner) granularity).  Present entries skip
+    their recompute: the backward otherwise re-runs the layer-1 point
+    matmul, the lane packing, and the N x P cull pre-pass per center-split
+    (the r4 "double prologue", ~2-4 ms of the train step)."""
     b, n, _ = xyz.shape
     p = centers.shape[1]
     w1, b1 = weights[0], biases[0]
     h1 = w1.shape[1]
     h3 = weights[-1].shape[-1]
+    reuse = reuse or {}
 
     groups = max(1, 128 // h1)
     while n % groups != 0 and groups > 1:
         groups //= 2
 
     w1x = w1[:3].astype(jnp.float32)
-    a = jnp.dot(xyz, w1x, preferred_element_type=jnp.float32)
-    if features is not None:
-        a = a + jnp.dot(
-            features, w1[3:].astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-    a = a + b1  # (B, N, H1)
     bc = -jnp.dot(centers, w1x, preferred_element_type=jnp.float32)  # (B,P,H1)
 
     if mask is None:
@@ -283,16 +284,31 @@ def _prologue(xyz, centers, weights, biases, radius, features, mask,
 
     # --- pack G point groups onto lanes ---------------------------------
     np_rows = n // groups
-    a_p = a.reshape(b, np_rows, groups * h1)
-    # geometry block: per group [x, y, z, invalid]  -> (B, N/G, 4G)
-    geo = jnp.concatenate([xyz, inval], axis=-1).reshape(b, np_rows, groups * 4)
+    if "geo" in reuse:
+        geo, a_p = reuse["geo"], reuse["a_p"]
+    else:
+        a = jnp.dot(xyz, w1x, preferred_element_type=jnp.float32)
+        if features is not None:
+            a = a + jnp.dot(
+                features, w1[3:].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+        a = a + b1  # (B, N, H1)
+        a_p = a.reshape(b, np_rows, groups * h1)
+        # geometry block: per group [x, y, z, invalid]  -> (B, N/G, 4G)
+        geo = jnp.concatenate([xyz, inval], axis=-1).reshape(
+            b, np_rows, groups * 4)
 
     # --- host-side culling bitmap ---------------------------------------
     # a (sub-chunk x center-tile) visit is skipped when NO pair in it can
     # be in-radius; sub-chunk s covers points [s·inner·G, (s+1)·inner·G)
     n_sub = np_rows // inner
     n_tiles = p // center_tile
-    if cull == "exact":
+    if "active" in reuse:
+        active = reuse["active"]
+        assert active.shape == (b, n_tiles, n_sub), (
+            active.shape, (b, n_tiles, n_sub))
+    elif cull == "exact":
         # exact necessity: min pairwise d² per block via the tiny VPU
         # pre-pass kernel (block_min_d2_pallas) + a lane-group min.
         # Offline study (cubic Morton, KITTI-like clouds): AABB boxes
@@ -324,9 +340,11 @@ def _prologue(xyz, centers, weights, biases, radius, features, mask,
             0.0,
         )
         d2_lb = jnp.sum(gap * gap, axis=-1)       # (B, n_sub, n_tiles)
-    # (B, n_tiles, n_sub): whole per-cloud bitmap resident in SMEM, indexed
-    # [t, ni] (SMEM blocks need full trailing dims; dynamic scalar reads ok)
-    active = (d2_lb < r2_max).astype(jnp.int32).transpose(0, 2, 1)
+    if "active" not in reuse:
+        # (B, n_tiles, n_sub): whole per-cloud bitmap resident in SMEM,
+        # indexed [t, ni] (SMEM blocks need full trailing dims; dynamic
+        # scalar reads ok)
+        active = (d2_lb < r2_max).astype(jnp.int32).transpose(0, 2, 1)
 
     bc_t = jnp.tile(bc, (1, 1, groups))[:, :, None, :]  # (B,P,1,G*H1)
     # tiled centers matching the geo layout: [cx, cy, cz, 0] per group
@@ -362,13 +380,14 @@ def _prologue(xyz, centers, weights, biases, radius, features, mask,
     jax.jit,
     static_argnames=("radius", "center_tile", "stream", "inner",
                      "compute_dtype", "interpret", "with_argmax", "d2_mode",
-                     "cull"),
+                     "cull", "return_residuals"),
 )
 def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
                               features, mask, center_tile: int, stream: int,
                               inner: int, compute_dtype, interpret: bool,
                               with_argmax: bool = False,
-                              d2_mode: str = "f32", cull: str = "exact"):
+                              d2_mode: str = "f32", cull: str = "exact",
+                              return_residuals: bool = False):
     pk = _prologue(xyz, centers, weights, biases, radius, features, mask,
                    center_tile, stream, inner, compute_dtype, interpret, cull)
     b, p, h3 = pk["b"], pk["p"], pk["h3"]
@@ -434,6 +453,11 @@ def _ball_mlp_max_pallas_impl(xyz, centers, weights, biases, radius,
     out = jnp.max(vals, axis=2)
     guarded = jnp.where(out <= _NEG / 2, 0.0, out)
     if not with_argmax:
+        if return_residuals:
+            # forward residuals for the backward pass: the packed point
+            # operands (tiling-independent) + the cull bitmap (valid at
+            # this (center_tile, inner); _remap_active re-derives others)
+            return guarded, (pk["geo"], pk["a_p"], pk["active"])
         return guarded
 
     idx = result[1].reshape(b, p, groups, h3)
@@ -462,12 +486,20 @@ def _tile_sizes(xyz, centers, weights, center_tile, stream, inner):
     return center_tile, stream, inner
 
 
+# the forward's default tiling; the backward mirrors this to decide whether
+# a saved cull bitmap applies directly or needs _remap_active
+FWD_TILES = (16, 32, 32)
+
+
 def ball_mlp_max_pallas(xyz, centers, weights, biases, radius,
-                        features=None, mask=None, center_tile: int = 16,
-                        stream: int = 32, inner: int = 32,
+                        features=None, mask=None,
+                        center_tile: int = FWD_TILES[0],
+                        stream: int = FWD_TILES[1],
+                        inner: int = FWD_TILES[2],
                         compute_dtype=jnp.bfloat16,
                         interpret: bool = False, d2_mode: str = "f32",
-                        cull: str = "exact", **_ignored):
+                        cull: str = "exact", return_residuals: bool = False,
+                        **_ignored):
     """Pallas TPU implementation of ops.fused_sa.ball_mlp_max.
 
     center_tile: centers processed per unrolled kernel iteration (smaller
@@ -488,7 +520,7 @@ def ball_mlp_max_pallas(xyz, centers, weights, biases, radius,
     return _ball_mlp_max_pallas_impl(
         xyz, centers, tuple(weights), tuple(biases), radius, features, mask,
         center_tile, stream, inner, compute_dtype, interpret,
-        d2_mode=d2_mode, cull=cull,
+        d2_mode=d2_mode, cull=cull, return_residuals=return_residuals,
     )
 
 
@@ -643,6 +675,33 @@ def _make_bwd_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
     return kernel
 
 
+def _remap_active(active, fwd_ct: int, fwd_inner: int, bwd_ct: int,
+                  bwd_inner: int):
+    """Re-derive a cull bitmap saved at (fwd_ct, fwd_inner) granularity for
+    a backward tiling (bwd_ct, bwd_inner).  Finer axes repeat the parent
+    block's bit (a superset of visits — extra visits select nothing, so
+    gradients are unchanged); coarser axes take the union.  Returns None
+    when the granularities don't divide (caller recomputes)."""
+
+    def remap(arr, axis, src, dst):
+        if src == dst:
+            return arr
+        if dst < src and src % dst == 0:
+            return jnp.repeat(arr, src // dst, axis=axis)
+        if dst > src and dst % src == 0:
+            r = dst // src
+            b, t, s = arr.shape
+            if axis == 1:
+                return arr.reshape(b, t // r, r, s).max(axis=2)
+            return arr.reshape(b, t, s // r, r).max(axis=3)
+        return None
+
+    out = remap(active, 1, fwd_ct, bwd_ct)
+    if out is None:
+        return None
+    return remap(out, 2, fwd_inner, bwd_inner)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("radius", "center_tile", "stream", "inner",
@@ -651,9 +710,17 @@ def _make_bwd_kernel(n_tail: int, n_tiles: int, tile: int, stream: int,
 def _ball_mlp_bwd_impl(xyz, centers, weights, biases, radius, g, out,
                        features, mask, center_tile: int, stream: int,
                        inner: int, compute_dtype, interpret: bool,
-                       d2_mode: str = "f32", cull: str = "exact"):
+                       d2_mode: str = "f32", cull: str = "exact",
+                       reuse_geo=None, reuse_a=None, reuse_active=None):
+    reuse = {}
+    if reuse_geo is not None:
+        reuse["geo"] = reuse_geo
+        reuse["a_p"] = reuse_a
+    if reuse_active is not None:
+        reuse["active"] = reuse_active
     pk = _prologue(xyz, centers, weights, biases, radius, features, mask,
-                   center_tile, stream, inner, compute_dtype, interpret, cull)
+                   center_tile, stream, inner, compute_dtype, interpret, cull,
+                   reuse=reuse or None)
     b, p, h1, h3 = pk["b"], pk["p"], pk["h1"], pk["h3"]
     groups, np_rows, n_tiles = pk["groups"], pk["np_rows"], pk["n_tiles"]
     n_sub = pk["n_sub"]
@@ -750,7 +817,8 @@ def ball_mlp_max_bwd_pallas(xyz, centers, weights, biases, radius, g, out,
                             stream: int = 16, inner: int = 16,
                             compute_dtype=jnp.bfloat16,
                             interpret: bool = False, d2_mode: str = "f32",
-                            cull: str = "exact", center_splits: int = 1):
+                            cull: str = "exact", center_splits: int = 1,
+                            residuals=None):
     """Equality-select backward for ball_mlp_max_pallas.
 
     Args:
@@ -790,6 +858,17 @@ def ball_mlp_max_bwd_pallas(xyz, centers, weights, biases, radius, g, out,
         xyz, centers, weights, center_tile, stream, inner
     )
     p = centers.shape[1]
+
+    # forward residual reuse: skip the layer-1 point matmul + lane packing
+    # and the N x P cull pre-pass (per split) — the r4 "double prologue"
+    geo_r = a_r = act_r = None
+    if residuals is not None:
+        geo_r, a_r, act_r = residuals
+        # the saved bitmap's granularity is the forward's effective tiling
+        # (ball_mlp_max_pallas defaults clamped by _tile_sizes)
+        f_ct, _f_st, f_in = _tile_sizes(xyz, centers, weights, *FWD_TILES)
+        act_r = _remap_active(act_r, f_ct, f_in, center_tile, inner)
+
     splits = max(1, int(center_splits))
     while splits > 1 and (p % splits or (p // splits) % center_tile):
         splits -= 1
@@ -798,19 +877,24 @@ def ball_mlp_max_bwd_pallas(xyz, centers, weights, biases, radius, g, out,
             xyz, centers, tuple(weights), tuple(biases), radius, g, out,
             features, mask, center_tile, stream, inner, compute_dtype,
             interpret, d2_mode=d2_mode, cull=cull,
+            reuse_geo=geo_r, reuse_a=a_r, reuse_active=act_r,
         )
     ps = p // splits
+    tiles_ps = ps // center_tile
     da = None
     dbc_parts = []
     dw_sum = None
     db_sum = None
     for s in range(splits):
         lo = s * ps
+        act_s = (None if act_r is None
+                 else act_r[:, s * tiles_ps:(s + 1) * tiles_ps, :])
         da_s, dbc_s, dw_s, db_s = _ball_mlp_bwd_impl(
             xyz, centers[:, lo:lo + ps], tuple(weights), tuple(biases),
             radius, g[:, lo:lo + ps], out[:, lo:lo + ps],
             features, mask, center_tile, stream, inner, compute_dtype,
             interpret, d2_mode=d2_mode, cull=cull,
+            reuse_geo=geo_r, reuse_a=a_r, reuse_active=act_s,
         )
         da = da_s if da is None else da + da_s
         dbc_parts.append(dbc_s)

@@ -7,6 +7,7 @@ from .distributed import (
 )
 from .mesh import (
     allgather_host,
+    allgather_host_f64,
     allgather_host_strings,
     batch_sharding,
     make_mesh,
@@ -18,6 +19,7 @@ from .mesh import (
 
 __all__ = [
     "allgather_host",
+    "allgather_host_f64",
     "allgather_host_strings",
     "make_mesh",
     "make_mesh_for_batch",

@@ -18,15 +18,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "batch_sharding", "replicate_sharding", "shard_batch",
-           "put_replicated", "allgather_host", "allgather_host_strings"]
+           "put_replicated", "allgather_host", "allgather_host_f64",
+           "allgather_host_strings"]
 
 BATCH_AXIS = "dp"
+
+
+def _check_process_major(devices) -> None:
+    """``allgather_host`` pairs ``process_allgather`` rows (process-index
+    order) with device-sharded batches (mesh device order); that only lines
+    up when the mesh's devices are process-major.  True for meshes built
+    from ``jax.devices()`` on every current runtime, but assert rather than
+    silently mis-pair host metadata with model outputs on an exotic
+    topology."""
+    procs = [getattr(d, "process_index", 0) for d in np.asarray(devices).flat]
+    if any(b < a for a, b in zip(procs, procs[1:])):
+        raise AssertionError(
+            "Mesh device order is not process-major "
+            f"(process indices {procs}); allgather_host would pair "
+            "per-sample host metadata with the wrong device shards. "
+            "Order the devices by process_index when building the mesh."
+        )
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis: str = BATCH_AXIS) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices."""
     if devices is None:
         devices = jax.devices()
+    _check_process_major(devices)
     return Mesh(np.asarray(devices), (axis,))
 
 
@@ -38,6 +57,7 @@ def make_mesh_for_batch(batch_size: int, devices: Optional[Sequence] = None,
     n = len(devices)
     while n > 1 and batch_size % n != 0:
         n -= 1
+    _check_process_major(devices[:n])
     return Mesh(np.asarray(devices[:n]), (axis,))
 
 
@@ -94,6 +114,22 @@ def allgather_host(values: np.ndarray) -> np.ndarray:
 
     out = np.asarray(multihost_utils.process_allgather(np.asarray(values)))
     return out.reshape((-1,) + np.asarray(values).shape[1:])
+
+
+def allgather_host_f64(values: np.ndarray) -> np.ndarray:
+    """Allgather float64 host values bit-exactly.
+
+    ``allgather_host`` rides a device collective; with jax x64 disabled
+    (the TPU default) a float64 array would silently downcast to float32
+    (~128 s resolution for epoch timestamps).  Transport the raw bits as
+    two uint32 halves instead and reassemble."""
+    vals = np.ascontiguousarray(np.asarray(values, dtype=np.float64))
+    if jax.process_count() == 1:
+        return vals
+    halves = vals.view(np.uint32).reshape(vals.shape + (2,))
+    out = allgather_host(halves)
+    return out.reshape(-1, 2).view(np.float64).reshape(
+        (-1,) + vals.shape[1:])
 
 
 def allgather_host_strings(names, width: int = 96) -> list:

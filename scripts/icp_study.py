@@ -1,0 +1,207 @@
+#!/usr/bin/env python3
+"""Classic-ICP baseline study: the learned-vs-classic comparison table.
+
+The reference's core evaluation story runs every ICP baseline over the
+evaluation scenarios and puts the results next to the trained model
+(/root/reference/scripts/run_icp.sh:22-39 feeding the paper tables).  This
+driver reproduces that matrix on the synthetic studies:
+
+  * KITTI arm — po2po / po2pl / gicp sequential odometry over the
+    kitti_synth_test drives (04 val / 06 seen / 10 unseen), then the full
+    stock pipeline: evaluation.py -> export_kitti_poses.py -> C++ devkit
+    segment errors.  Learned rows are pulled from the 50k long_study
+    report when present (same drives, same protocol).
+  * ModelNet arm (--modelnet) — pairwise registration over the synthetic
+    modelnet40 noise-0.02 test pack; step errors via evaluation.py
+    (the modelnet40_table protocol class).
+
+Restart-safe: every stage skips existing artifacts; an interrupted run
+resumes with the same command.  Writes ``icp_study.json`` into --workdir
+and refreshes docs/icp_baselines.md.
+"""
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+ALGOS = ["icp_po2po", "icp_po2pl", "gicp"]
+
+
+def sh(cmd, env, log):
+    print(f"+ {' '.join(map(str, cmd))}", flush=True)
+    with open(log, "ab") as f:
+        f.write((" ".join(map(str, cmd)) + "\n").encode())
+        proc = subprocess.run([str(c) for c in cmd], env=env, cwd=str(REPO),
+                              stdout=f, stderr=subprocess.STDOUT)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"command failed rc={proc.returncode} (log: {log}): {cmd}")
+
+
+def parse_devkit_stats(result_dir: Path) -> dict:
+    out = {}
+    for line in (result_dir / "stats.txt").read_text().splitlines():
+        m = re.match(r"(\S+)\s+t_err\[%\]\s+([\d.eE+-]+)"
+                     r"\s+r_err\[deg/m\]\s+([\d.eE+-]+)", line)
+        if m:
+            out[m.group(1)] = {"t_err_pct": float(m.group(2)),
+                               "r_err_deg_per_m": float(m.group(3))}
+    return out
+
+
+def mean_pair_time_ms(run_dir: Path) -> float:
+    """Mean per-pair time over all sequence txt files (col 26)."""
+    times = []
+    for txt in run_dir.glob("*.txt"):
+        try:
+            data = np.loadtxt(txt)
+        except Exception:
+            continue
+        if data.ndim == 2 and data.shape[1] >= 26:
+            times.append(data[:, 25])
+    if not times:
+        return float("nan")
+    return float(np.concatenate(times).mean())
+
+
+def run_pipeline(run_dir: Path, env, log, devkit: bool) -> dict:
+    """evaluation.py (+ export + devkit for sequential runs) on one run."""
+    if not (run_dir / "evaluation").exists():
+        sh([sys.executable, REPO / "scripts" / "evaluation.py", run_dir],
+           env, log)
+    entry = {"time_ms": mean_pair_time_ms(run_dir)}
+    if devkit:
+        if not (run_dir / "kitti").exists():
+            sh([sys.executable, REPO / "scripts" / "export_kitti_poses.py",
+                run_dir], env, log)
+        result_dir = run_dir / "kitti" / "result"
+        if not (result_dir / "stats.txt").exists():
+            sh([sys.executable, "-m", "deepclr_tpu.kitti_devkit",
+                Path(env["KITTI_PATH"]) / "original" / "poses",
+                run_dir / "kitti", result_dir, "--no-plots"], env, log)
+        entry["devkit"] = parse_devkit_stats(result_dir)
+    # step-error summary from evaluation.py CSVs
+    step_csv = run_dir / "evaluation" / "step_errors.csv"
+    if step_csv.exists():
+        import csv
+
+        rows = list(csv.DictReader(open(step_csv)))
+        if rows:
+            def col(name):
+                vals = [float(r[name]) for r in rows if r.get(name)]
+                return float(np.mean(vals)) if vals else float("nan")
+
+            keys = rows[0].keys()
+            entry["step_errors"] = {
+                k: col(k) for k in keys
+                if k not in ("name",) and rows[0][k].replace(
+                    ".", "").replace("-", "").replace("e", "")
+                .replace("E", "").lstrip("+").isdigit() or k in keys
+            }
+            # keep it focused: translation + rotation means if present
+            entry["step_errors"] = {
+                k: col(k) for k in keys if "err" in k.lower()
+            }
+    return entry
+
+
+def find_algo_run(out_base: Path, algo: str):
+    runs = [d for d in out_base.glob(f"*_{algo.upper()}")
+            if (d / "scenario.yaml").exists()]
+    return sorted(runs, key=os.path.getmtime)[-1] if runs else None
+
+
+def kitti_arm(env, args, log) -> dict:
+    out = {}
+    out_base = Path(args.workdir) / "kitti_runs"
+    out_base.mkdir(parents=True, exist_ok=True)
+    scenario = REPO / "configs" / "scenarios" / "kitti_synth_test.yaml"
+    for algo in ALGOS:
+        run_dir = find_algo_run(out_base, algo)
+        if run_dir is None:
+            sh([sys.executable, REPO / "scripts" / "icp.py", scenario, algo,
+                out_base, "--max-distance", args.max_distance], env, log)
+            run_dir = find_algo_run(out_base, algo)
+            assert run_dir is not None, f"no output run dir for {algo}"
+        out[algo] = run_pipeline(run_dir, env, log, devkit=True)
+    return out
+
+
+def modelnet_arm(env, args, log) -> dict:
+    m40 = Path(env["MODELNET40_PATH"])
+    test_pack = m40 / "test" / "test_seen_0.02.pack"
+    if not test_pack.exists():
+        sh([sys.executable, REPO / "scripts" / "make_synthetic_modelnet.py",
+            m40, "--points", 2048], env, log)
+        sh([sys.executable,
+            REPO / "scripts" / "converter" / "modelnet40_test.py"], env, log)
+    out = {}
+    out_base = Path(args.workdir) / "m40_runs"
+    out_base.mkdir(parents=True, exist_ok=True)
+    scenario = REPO / "configs" / "scenarios" / "modelnet40_small.yaml"
+    for algo in ALGOS:
+        run_dir = find_algo_run(out_base, algo)
+        if run_dir is None:
+            sh([sys.executable, REPO / "scripts" / "icp.py", scenario, algo,
+                out_base, "--max-distance", args.m40_max_distance,
+                "--neighbor-radius", 0.3], env, log)
+            run_dir = find_algo_run(out_base, algo)
+            assert run_dir is not None, f"no output run dir for {algo}"
+        out[algo] = run_pipeline(run_dir, env, log, devkit=False)
+    return out
+
+
+def learned_rows(args) -> dict:
+    """Pull the trained model's numbers from the 50k long_study report."""
+    report = Path(args.learned_report)
+    if not report.exists():
+        return {}
+    data = json.loads(report.read_text())
+    out = {}
+    for arm in ("raw", "ema"):
+        if arm in data and data[arm]:
+            out[f"deepclr_50k_{arm}"] = {"devkit": data[arm]}
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/root/repo/.studies/icp")
+    ap.add_argument("--kitti-path",
+                    default="/root/repo/.studies/long50k/kitti",
+                    help="existing synthetic KITTI dataset (read-only reuse)")
+    ap.add_argument("--learned-report",
+                    default="/root/repo/.studies/long50k/long_study.json")
+    ap.add_argument("--max-distance", type=float, default=1.0)
+    ap.add_argument("--m40-max-distance", type=float, default=0.2)
+    ap.add_argument("--modelnet", action="store_true",
+                    help="also run the ModelNet40 pairwise arm")
+    args = ap.parse_args()
+
+    wd = Path(args.workdir)
+    wd.mkdir(parents=True, exist_ok=True)
+    log = wd / "pipeline.log"
+    env = dict(os.environ)
+    env["KITTI_PATH"] = str(args.kitti_path)
+    env.setdefault("MODELNET40_PATH", str(wd / "modelnet40"))
+
+    report = {"max_distance": args.max_distance}
+    report["kitti"] = kitti_arm(env, args, log)
+    report["kitti"].update(learned_rows(args))
+    with open(wd / "icp_study.json", "w") as f:
+        json.dump(report, f, indent=2)
+    if args.modelnet:
+        report["modelnet40"] = modelnet_arm(env, args, log)
+        with open(wd / "icp_study.json", "w") as f:
+            json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,27 +72,37 @@ def timing(cfg, sequential: bool, upload_dtype: str = "float32") -> None:
     # pass 2 — compute-only: identical dispatch sequence, inputs already
     # device-resident (pre-padded, pre-uploaded), so the measured time is
     # encode+register+8-float fetch without the upload/pad tax
+    import collections
+
     import jax.numpy as jnp
 
-    dev_pairs = []
     rng = np.random.default_rng(0)
-    for template, source in pairs:
+
+    def _upload(pair):
+        template, source = pair
         pt, mt = pad_cloud(template, num_points, rng)
         ps, ms_ = pad_cloud(source, num_points, rng)
-        dev_pairs.append((
-            jax.device_put(jnp.asarray(pt[None])),
-            jax.device_put(jnp.asarray(mt[None])),
-            jax.device_put(jnp.asarray(ps[None])),
-            jax.device_put(jnp.asarray(ms_[None])),
-        ))
+        arrs = tuple(jax.device_put(jnp.asarray(a[None]))
+                     for a in (pt, mt, ps, ms_))
+        for a in arrs:
+            a.block_until_ready()  # transfer done before the timed window
+        return arrs
+
+    # stream with a lookahead of one pair — uploading the whole validation
+    # set up-front grows device memory linearly (~0.5 MB/pair at 16k pts)
+    # and can OOM a small chip on long sequences
+    pending = collections.deque([_upload(pairs[0])])
     encode, register, var = helper._encode, helper._register, variables
     # warm both programs on the resident shapes
-    f0 = encode(var, *dev_pairs[0][:2])
+    f0 = encode(var, *pending[0][:2])
     np.asarray(register(var, f0, f0))
 
     comp_ms = []
     state = None
-    for pt, mt, ps, ms_ in dev_pairs:
+    for i in range(len(pairs)):
+        if i + 1 < len(pairs):
+            pending.append(_upload(pairs[i + 1]))
+        pt, mt, ps, ms_ = pending.popleft()
         t0 = time.perf_counter()
         if sequential:
             if state is None:

@@ -402,3 +402,55 @@ def test_kernel_backward_center_splits_exact():
                         jax.tree_util.tree_leaves(split)):
             np.testing.assert_allclose(np.asarray(s), np.asarray(r),
                                        atol=1e-5)
+
+
+def test_parse_bwd_tiles():
+    from deepclr_tpu.ops.fused_sa import _parse_bwd_tiles
+
+    assert _parse_bwd_tiles("16,32,32,4") == [16, 32, 32, 4]
+    import pytest
+
+    for bad in ("16,32,32", "a,b,c,d", "16,32,32,0", "16,-1,32,4", ""):
+        with pytest.raises(ValueError, match="DEEPCLR_SA_BWD_TILES"):
+            _parse_bwd_tiles(bad)
+
+
+def test_bwd_residual_reuse_bit_identical():
+    """Backward with forward residuals (geo/a_p/cull bitmap reuse) must be
+    bit-identical to the recompute backward, including when the backward
+    tiling differs from the forward's (the _remap_active superset path)
+    and under center splits."""
+    from deepclr_tpu.ops.fused_sa import multi_scale_bundle
+    from deepclr_tpu.ops.pallas.fused_sa_kernel import (
+        ball_mlp_max_bwd_pallas,
+        ball_mlp_max_pallas,
+    )
+
+    xyz, feat, mask = _data(seed=41)
+    centers = xyz[:, :P, :]
+    sw, sb = _params(seed=42)
+    weights, biases, rcols = multi_scale_bundle(sw, sb, (0.8, 1.5))
+    weights, biases = tuple(weights), tuple(biases)
+
+    out, res_pack = ball_mlp_max_pallas(
+        xyz, centers, weights, biases, rcols, features=feat, mask=mask,
+        compute_dtype=jnp.float32, interpret=True, return_residuals=True,
+    )
+    g = jnp.ones_like(out)
+
+    # same-tiling, finer, coarser, and split backward configs
+    for ct, st, inn, splits in ((16, 32, 32, 1), (8, 16, 16, 1),
+                                (32, 32, 16, 1), (16, 32, 32, 4)):
+        kwargs = dict(
+            features=feat, mask=mask, compute_dtype=jnp.float32,
+            center_tile=ct, stream=st, inner=inn, interpret=True,
+            center_splits=splits,
+        )
+        base = ball_mlp_max_bwd_pallas(
+            xyz, centers, weights, biases, rcols, g, out, **kwargs)
+        reused = ball_mlp_max_bwd_pallas(
+            xyz, centers, weights, biases, rcols, g, out,
+            residuals=res_pack, **kwargs)
+        for a, b in zip(jax.tree_util.tree_leaves(base),
+                        jax.tree_util.tree_leaves(reused)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
