@@ -84,6 +84,26 @@ def _make_encode_fns(model, upload_dtype: str):
     return encode, jax.jit(encode_q)
 
 
+def _make_step_fns(model, upload_dtype: str):
+    """(step, step_q): jitted fused encode+register of one new frame
+    against cached features (DeepCLR.encode_register) — ONE dispatch per
+    sequential frame instead of two."""
+    step = jax.jit(
+        lambda v, f0, pts, mask: model.apply(
+            v, f0, pts, mask, method=DeepCLR.encode_register)
+    )
+    if upload_dtype == "float32":
+        return step, None
+    import jax.numpy as jnp
+
+    def step_q(v, f0, q, offset, scale, mask):
+        pts = (q.astype(jnp.float32) * scale[:, None, :]
+               + offset[:, None, :])
+        return model.apply(v, f0, pts, mask, method=DeepCLR.encode_register)
+
+    return step, jax.jit(step_q)
+
+
 class ModelInferenceHelper:
     """Stateful convenience wrapper over the pure encode/register functions."""
 
@@ -105,6 +125,7 @@ class ModelInferenceHelper:
         self._register = jax.jit(
             lambda v, f0, f1: model.apply(v, f0, f1, method=DeepCLR.register)
         )
+        self._step, self._step_q = _make_step_fns(model, upload_dtype)
 
     def has_state(self) -> bool:
         return self._state is not None
@@ -180,11 +201,21 @@ class ModelInferenceHelper:
                 raise RuntimeError(
                     "Only the source cloud is required for sequential prediction."
                 )
-            feats = self.encode_cloud(source)
             if self._state is None:
-                self._state = feats
+                self._state = self.encode_cloud(source)
                 return None
-            y = self._register(self._variables, self._state, feats)
+            # fused encode+register: one dispatch per frame
+            cloud = self._check_dim(np.asarray(source), "source")
+            pts, mask = pad_cloud(cloud, self._num_points, self._rng,
+                                  morton=self._morton)
+            if self._step_q is not None:
+                q, lo, scale = _quantize_u16(pts)
+                y, feats = self._step_q(self._variables, self._state,
+                                        q[None], lo[None], scale[None],
+                                        mask[None])
+            else:
+                y, feats = self._step(self._variables, self._state,
+                                      pts[None], mask[None])
             self._state = feats
             return np.asarray(y[0])
 
@@ -235,6 +266,7 @@ class BatchedSequentialHelper:
         self._register = jax.jit(
             lambda v, f0, f1: model.apply(v, f0, f1, method=DeepCLR.register)
         )
+        self._step_fn, self._step_fn_q = _make_step_fns(model, upload_dtype)
 
     def reset_stream(self, i: int) -> None:
         """Start a new sequence on lane ``i`` (next step only seeds state)."""
@@ -271,25 +303,38 @@ class BatchedSequentialHelper:
                              morton=self._morton)
             pts.append(p)
             masks.append(m)
-        if self._encode_q is not None:
+        if self._state is None:
+            # seeding step: encode only (no template to register against)
+            if self._encode_q is not None:
+                qs = [_quantize_u16(p) for p in pts]
+                feats = self._encode_q(
+                    self._variables,
+                    np.stack([q for q, _, _ in qs]),
+                    np.stack([lo for _, lo, _ in qs]),
+                    np.stack([s for _, _, s in qs]),
+                    np.stack(masks),
+                )
+            else:
+                feats = self._encode(self._variables, np.stack(pts),
+                                     np.stack(masks))
+            self._state = feats
+            self._fresh[:] = False
+            return [None] * self._batch
+
+        # fused encode+register: one dispatch advances all B streams
+        if self._step_fn_q is not None:
             qs = [_quantize_u16(p) for p in pts]
-            feats = self._encode_q(
-                self._variables,
+            y_dev, feats = self._step_fn_q(
+                self._variables, self._state,
                 np.stack([q for q, _, _ in qs]),
                 np.stack([lo for _, lo, _ in qs]),
                 np.stack([s for _, _, s in qs]),
                 np.stack(masks),
             )
         else:
-            feats = self._encode(self._variables, np.stack(pts),
-                                 np.stack(masks))
-
-        if self._state is None:
-            self._state = feats
-            self._fresh[:] = False
-            return [None] * self._batch
-
-        y = np.asarray(self._register(self._variables, self._state, feats))
+            y_dev, feats = self._step_fn(self._variables, self._state,
+                                         np.stack(pts), np.stack(masks))
+        y = np.asarray(y_dev)
         out = [None if self._fresh[i] else y[i] for i in range(self._batch)]
         self._state = feats
         self._fresh[:] = False

@@ -405,6 +405,20 @@ class DeepCLR(nn.Module):
         merged = self.merge(feats0, feats1, train=train)
         return self.output(merged, train=train)
 
+    def encode_register(self, feats0, points, mask=None, *,
+                        train: bool = False):
+        """Sequential-step fusion: encode ONE new frame and register it
+        against the cached previous-frame features in a single program.
+
+        Halves the per-frame dispatch count on the single-stream odometry
+        path, where fixed per-dispatch cost dominates latency (reference
+        per-frame timing, /root/reference/scripts/inference.py:95-110).
+        Returns ``(y_pred, feats1)`` so the caller can thread the state.
+        """
+        feats1 = self.encode(points, mask, train=train)
+        y_pred = self.register(feats0, feats1, train=train)
+        return y_pred, feats1
+
     def __call__(
         self,
         template,

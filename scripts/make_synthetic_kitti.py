@@ -51,7 +51,7 @@ def trajectory(rng, frames, speed=1.2):
     return poses
 
 
-def write_sequence(out, seq, frames, points, seed):
+def write_sequence(out, seq, frames, points, seed, speed=1.2):
     rng = np.random.default_rng(seed)
     seq_dir = osp.join(out, "original", "sequences", seq)
     os.makedirs(osp.join(seq_dir, "velodyne"), exist_ok=True)
@@ -59,7 +59,7 @@ def write_sequence(out, seq, frames, points, seed):
 
     # one big persistent scene covering the whole drive (scene obstacles
     # are placed around the trajectory envelope)
-    poses = trajectory(rng, frames)
+    poses = trajectory(rng, frames, speed=speed)
     span = np.array([p[:3, 3] for p in poses])
     lo = span.min(0) - 50
     hi = span.max(0) + 50
@@ -95,12 +95,14 @@ def main():
     ap.add_argument("--frames", type=int, default=160)
     ap.add_argument("--points", type=int, default=32768)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--speed", type=float, default=1.2,
+                    help="trajectory speed, m per frame (denser DeepVCP\n                    pairs at lower speeds)")
     args = ap.parse_args()
 
     for k, seq in enumerate(args.sequences.split(",")):
         print(f"sequence {seq} ({args.frames} frames)")
         write_sequence(args.out, seq, args.frames, args.points,
-                       args.seed + 1000 * k)
+                       args.seed + 1000 * k, speed=args.speed)
     print("done")
 
 

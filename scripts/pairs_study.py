@@ -51,7 +51,8 @@ def ensure_dataset(env, args, log):
                for s in seqs):
         sh([sys.executable, REPO / "scripts" / "make_synthetic_kitti.py",
             kitti, "--sequences", ",".join(seqs),
-            "--frames", args.frames, "--points", args.points], env, log)
+            "--frames", args.frames, "--points", args.points,
+            "--speed", args.speed], env, log)
     if not all((kitti / "pairs" / f"{s}.pack").exists() for s in seqs):
         sh([sys.executable,
             REPO / "scripts" / "converter" / "kitti_pairs.py"], env, log)
@@ -105,6 +106,9 @@ def main():
     ap.add_argument("--workdir", default="/root/repo/.studies/pairs12k")
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--points", type=int, default=32768)
+    ap.add_argument("--speed", type=float, default=1.2,
+                    help="m per frame; lower -> more DeepVCP pairs per "
+                         "anchor (pairs span 5 m / speed frames)")
     ap.add_argument("--train-steps", type=int, default=12000)
     ap.add_argument("--ema-decay", type=float, default=0.0)
     ap.add_argument("--batch-lanes", type=int, default=8,

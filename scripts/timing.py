@@ -93,9 +93,13 @@ def timing(cfg, sequential: bool, upload_dtype: str = "float32") -> None:
     # and can OOM a small chip on long sequences
     pending = collections.deque([_upload(pairs[0])])
     encode, register, var = helper._encode, helper._register, variables
-    # warm both programs on the resident shapes
+    step = helper._step  # fused encode+register (sequential path)
+    # warm the programs on the resident shapes
     f0 = encode(var, *pending[0][:2])
-    np.asarray(register(var, f0, f0))
+    if sequential:
+        np.asarray(step(var, f0, *pending[0][2:])[0])
+    else:
+        np.asarray(register(var, f0, f0))
 
     comp_ms = []
     state = None
@@ -107,9 +111,8 @@ def timing(cfg, sequential: bool, upload_dtype: str = "float32") -> None:
         if sequential:
             if state is None:
                 state = encode(var, pt, mt)
-            feats = encode(var, ps, ms_)
-            y = register(var, state, feats)
-            state = feats
+            # fused single-dispatch frame step (the deployed predict path)
+            y, state = step(var, state, ps, ms_)
         else:
             f0 = encode(var, pt, mt)
             f1 = encode(var, ps, ms_)
