@@ -81,6 +81,8 @@ def ensure_trained(seed, env, args, log):
         return exp
 
     steps = int(args.train_steps)
+    cyc_frac, flat_frac = (float(x) for x in args.schedule_split.split(","))
+    cyc, flat = int(steps * cyc_frac), int(steps * flat_frac)
     cfg_path = Path(args.workdir) / f"train_seed{seed}.yaml"
     cfg = {
         "extends": str(REPO / "configs" / "training" / "kitti_synth.yaml"),
@@ -99,11 +101,10 @@ def ensure_trained(seed, env, args, log):
         # scheduler.params is one leaf dict param: overriding it REPLACES
         # the extends-base dict, so carry the full reference recipe here
         "scheduler": {"params": {
-            "cyclic_iterations": int(steps * 0.75),
-            "flat_iterations": int(steps * 0.125),
-            "annealing_iterations": steps - int(steps * 0.75)
-                                    - int(steps * 0.125),
-            "step_size_up": max(1, int(steps * 0.75) // 12),
+            "cyclic_iterations": cyc,
+            "flat_iterations": flat,
+            "annealing_iterations": steps - cyc - flat,
+            "step_size_up": max(1, cyc // 12),
             "base_lr": 1e-7,
             "max_lr": 5e-4,
             "mode": "triangular",
@@ -185,6 +186,10 @@ def main():
     ap.add_argument("--points", type=int, default=32768)
     ap.add_argument("--train-steps", type=int, default=12000)
     ap.add_argument("--ema-decay", type=float, default=0.999)
+    ap.add_argument("--schedule-split", default="0.75,0.125",
+                    help="cyclic,flat schedule fractions; annealing gets "
+                         "the remainder (r5 stabilizer arms: longer "
+                         "annealing tails)")
     ap.add_argument("--rss-limit-gb", type=float, default=40.0)
     ap.add_argument("--json", default=None,
                     help="output JSON (default WORKDIR/seed_study.json)")
