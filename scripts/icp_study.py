@@ -97,16 +97,9 @@ def run_pipeline(run_dir: Path, env, log, devkit: bool) -> dict:
                 vals = [float(r[name]) for r in rows if r.get(name)]
                 return float(np.mean(vals)) if vals else float("nan")
 
-            keys = rows[0].keys()
+            # focused summary: the translation/rotation error columns
             entry["step_errors"] = {
-                k: col(k) for k in keys
-                if k not in ("name",) and rows[0][k].replace(
-                    ".", "").replace("-", "").replace("e", "")
-                .replace("E", "").lstrip("+").isdigit() or k in keys
-            }
-            # keep it focused: translation + rotation means if present
-            entry["step_errors"] = {
-                k: col(k) for k in keys if "err" in k.lower()
+                k: col(k) for k in rows[0].keys() if "err" in k.lower()
             }
     return entry
 
@@ -200,7 +193,65 @@ def main():
         report["modelnet40"] = modelnet_arm(env, args, log)
         with open(wd / "icp_study.json", "w") as f:
             json.dump(report, f, indent=2)
+    write_docs(report)
     print(json.dumps(report, indent=2))
+
+
+def write_docs(report: dict) -> None:
+    """Render the learned-vs-classic table into docs/icp_baselines.md."""
+    lines = [
+        "# ICP baselines vs the trained model (r5 study)",
+        "",
+        "The reference's core evaluation artifact: every classic ICP",
+        "baseline over the evaluation scenarios next to the learned model",
+        "(`/root/reference/scripts/run_icp.sh:22-39` feeding the paper",
+        "tables).  Reproduced on the synthetic KITTI drives",
+        "(kitti_synth_test: 04 val / 06 seen / 10 unseen, sequential",
+        "odometry) through the full stock pipeline: `scripts/icp.py` ->",
+        "`evaluation.py` -> `export_kitti_poses.py` -> C++ devkit.",
+        "Driver: `scripts/icp_study.py` (restart-safe); raw results:",
+        "`.studies/icp/icp_study.json`.",
+        "",
+        "## KITTI devkit segment errors",
+        "",
+        "| method | " + " | ".join(
+            f"{s} t_err% / r_err deg/m" for s in ("04", "06", "10", "TOTAL")
+        ) + " | mean ms/pair |",
+        "|---|" + "---|" * 5,
+    ]
+    for method, entry in report.get("kitti", {}).items():
+        dev = entry.get("devkit", {})
+
+        def cell(seq):
+            d = dev.get(seq)
+            if not d:
+                return "—"
+            return f"{d['t_err_pct']:.2f} / {d['r_err_deg_per_m']:.4f}"
+
+        t = entry.get("time_ms")
+        t_s = f"{t:.0f}" if isinstance(t, float) and t == t else "—"
+        lines.append(
+            f"| {method} | " + " | ".join(
+                cell(s) for s in ("04", "06", "10", "TOTAL")
+            ) + f" | {t_s} |"
+        )
+    if "modelnet40" in report:
+        lines += [
+            "",
+            "## ModelNet40 (noise 0.02, pairwise) — mean step errors",
+            "",
+            "| method | errors (evaluation.py step means) | mean ms/pair |",
+            "|---|---|---|",
+        ]
+        for method, entry in report["modelnet40"].items():
+            errs = entry.get("step_errors", {})
+            err_s = ", ".join(f"{k}={v:.3g}" for k, v in errs.items())
+            t = entry.get("time_ms")
+            t_s = (f"{t:.0f}" if isinstance(t, float) and t == t
+                   else "—")
+            lines.append(f"| {method} | {err_s} | {t_s} |")
+    lines.append("")
+    (REPO / "docs" / "icp_baselines.md").write_text("\n".join(lines))
 
 
 if __name__ == "__main__":
