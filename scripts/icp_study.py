@@ -92,14 +92,13 @@ def run_pipeline(run_dir: Path, env, log, devkit: bool) -> dict:
         import csv
 
         rows = list(csv.DictReader(open(step_csv)))
-        if rows:
-            def col(name):
-                vals = [float(r[name]) for r in rows if r.get(name)]
-                return float(np.mean(vals)) if vals else float("nan")
-
-            # focused summary: the translation/rotation error columns
+        total = next((r for r in rows if r.get("name") == "TOTAL"), None)
+        if total:
+            # focused summary: the TOTAL row's mean columns
+            # (t_kitti_mean [m], r_chordal_mean [deg], time_mean [ms], ...)
             entry["step_errors"] = {
-                k: col(k) for k in rows[0].keys() if "err" in k.lower()
+                k: float(v) for k, v in total.items()
+                if k != "name" and "_mean" in k and v
             }
     return entry
 
