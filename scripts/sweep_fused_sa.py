@@ -45,6 +45,10 @@ def main():
                          "tilings; see docs/kernels.md)")
     ap.add_argument("--skip-forward", action="store_true",
                     help="skip the forward variant sweep (baseline only)")
+    ap.add_argument("--residuals", action="store_true",
+                    help="sweep the backward WITH forward residuals "
+                         "(geo/a_p/cull bitmap reuse — the r5 production "
+                         "path)")
     ap.add_argument("--bwd-configs", type=str, default=None,
                     help="comma list 'tile/stream/inner/splits' to restrict "
                          "the backward sweep (each compile is 20-120 s on "
@@ -144,13 +148,26 @@ def main():
     out_ref = jnp.asarray(ref_out)
     g = jnp.ones_like(out_ref)
 
+    # r5: the production backward reuses forward residuals (geo/a_p/cull
+    # bitmap) — sweep with them so relative tile costs match training
+    res_pack = None
+    if args.residuals:
+        from deepclr_tpu.ops.pallas.fused_sa_kernel import ball_mlp_max_pallas
+
+        _, res_pack = ball_mlp_max_pallas(
+            xyz_s, centers_s, weights, biases, radius_cols,
+            features=feats_s, compute_dtype=jnp.bfloat16,
+            return_residuals=True,
+        )
+        res_pack = jax.tree_util.tree_map(jnp.asarray, res_pack)
+
     def make_bwd(tile, stream, inner, splits=1):
         def fn(xyz_s, centers_s, feats_s):
             res = ball_mlp_max_bwd_pallas(
                 xyz_s, centers_s, weights, biases, radius_cols, g, out_ref,
                 features=feats_s, compute_dtype=jnp.bfloat16,
                 center_tile=tile, stream=stream, inner=inner,
-                center_splits=splits,
+                center_splits=splits, residuals=res_pack,
             )
             return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(res))
         return jax.jit(fn)
