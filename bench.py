@@ -148,11 +148,16 @@ def main():
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
         from bench_loader import build_pack, make_cfg, measure
 
+        # 200 clouds -> ~199 sequential pairs -> 12 batches at batch 16
+        # (one is eaten by measure()'s warmup; 8 are timed)
         pack = "/tmp/bench_guardrail.pack"
         if not os.path.exists(pack):
-            build_pack(pack, clouds=32, raw_points=60000)
+            build_pack(pack, clouds=200, raw_points=60000)
         cfg_l = make_cfg(pack, batch, n, 0, "thread", host_fps=False)
         loader_rate = measure(cfg_l, max_batches=8)
+        if not loader_rate:
+            raise RuntimeError("loader probe produced no batches "
+                               "(pack too small for this batch size?)")
         demand_steps = train_pairs_per_sec / batch
         loader_headroom = loader_rate / demand_steps
     except Exception as e:  # never fail the bench on the guardrail probe
