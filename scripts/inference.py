@@ -84,6 +84,12 @@ def _run_parallel_sequences(scene_cfg, model, variables, num_points,
 
         clouds = [np.asarray(ds["clouds"][0]) for ds in current]
         helper.step(clouds)  # seed every lane's state with its template
+        # warm the fused step program outside the timed loop (re-encoding
+        # the template against itself; identical state when clouds fit
+        # num_points — with subsampling it just re-draws the template
+        # subsample).  Cold compiles otherwise charge minutes to the
+        # first frame's recorded time.
+        helper.step(clouds)
         active = [True] * b_dim
         step = 0
         while any(active):
@@ -121,6 +127,7 @@ def _run_batched_pairwise(scene_cfg, helper, evaluator, label_type, logger,
     independent pairs per dispatch.  The tail chunk is padded by repeating
     its last pair (keeps the compiled shape; extras discarded).  Recorded
     per-pair time is the dispatch time divided by the real pairs in it."""
+    warmed = False
     for data_name, data_file in scene_cfg.data.items():
         logger.info(f"Evaluate '{data_file}' (batched pairwise, B={batch})")
         df = create_input_dataflow(scene_cfg.dataset_type, data_file,
@@ -140,6 +147,13 @@ def _run_batched_pairwise(scene_cfg, helper, evaluator, label_type, logger,
                 pending = []
                 templates = [np.asarray(ds["clouds"][0]) for ds in chunk]
                 sources = [np.asarray(ds["clouds"][1]) for ds in chunk]
+                if not warmed:
+                    # pay the jit compiles OUTSIDE the timed window, like
+                    # the reference's CUDA warmup — otherwise the first
+                    # batch charges minutes of cold compile to its pairs
+                    # and the table's mean time is junk
+                    np.asarray(helper.predict_batch(sources, templates))
+                    warmed = True
                 t0 = time.perf_counter()
                 preds = helper.predict_batch(sources, templates)
                 t_share_ms = (time.perf_counter() - t0) * 1000.0 / real
