@@ -189,9 +189,18 @@ def _icp_core(algorithm: str, src, src_mask, template, template_mask,
             R = transform[:3, :3]
             ct = cov_t[idx]
             cs = jnp.einsum("ij,njk,lk->nil", R, cov_s, R)
-            info = jnp.linalg.inv(ct + cs + 1e-6 * jnp.eye(3))
-            # whitening factor: ||L d||^2 == d^T M d  (L = chol(M)^T)
-            return jnp.swapaxes(jnp.linalg.cholesky(info), -1, -2)
+            M = ct + cs
+            # TPU f32 eigh returns slightly non-orthonormal eigenvectors,
+            # so a few regularized covariances can be indefinite (min eig
+            # ~ -5e-4 observed at sequence scale); symmetrize + jitter,
+            # and zero non-finite whitening factors — a NaN row would
+            # otherwise poison the normal equations through 0 * NaN even
+            # for pairs the distance gate already excludes (w = 0)
+            M = 0.5 * (M + jnp.swapaxes(M, -1, -2)) + 1e-5 * jnp.eye(3)
+            info = jnp.linalg.inv(M)
+            # whitening factor: ||L d||^2 == d^T M^-1 d  (L = chol(M^-1)^T)
+            L = jnp.swapaxes(jnp.linalg.cholesky(info), -1, -2)
+            return jnp.where(jnp.isfinite(L), L, 0.0)
 
         def step(transform):
             return _gauss_newton_step(

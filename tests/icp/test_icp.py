@@ -101,3 +101,34 @@ def test_icp_realistic_lidar_offset(algorithm):
     t_bound = 0.35 if algorithm == ICPAlgorithm.ICP_PO2PO else 0.10
     assert t_err < t_bound, f"{algorithm}: translation error {t_err:.3f} m {info}"
     assert r_err < 0.5, f"{algorithm}: rotation error {r_err:.3f} deg {info}"
+
+
+def test_gicp_survives_indefinite_covariance():
+    """TPU f32 eigh can return slightly non-orthonormal eigenvectors, so
+    regularized covariances are occasionally indefinite; cholesky then
+    NaNs and 0 * NaN would poison the normal equations even for pairs the
+    distance gate excludes (found by the r5 sequence-scale ICP study:
+    42/597 NaN registrations).  Inject an indefinite covariance and
+    assert the result stays finite and accurate."""
+    import jax.numpy as jnp
+
+    cloud = _make_cloud(256, seed=7)
+    m_true = _transform(1.0, (0.2, 0.1, 0.0))
+    src = (cloud @ m_true[:3, :3].T + m_true[:3, 3]).astype(np.float32)
+
+    reg = ICPRegistration(ICPAlgorithm.GICP, max_distance=5.0,
+                          max_iterations=30)
+    t = reg.prepare(cloud)
+    s = reg.prepare(src)
+    # make a handful of template covariances indefinite (min eig -5e-4,
+    # the magnitude observed on hardware)
+    bad = np.array(t["cov"])  # writable copy
+    for i in range(0, 12):
+        bad[i] = np.diag([1.0, 1.0, -5e-4])
+    t["cov"] = jnp.asarray(bad)
+
+    m = reg.register(t, s)
+    assert np.isfinite(m).all()
+    # still recovers the inverse transform (source -> template frame)
+    err = np.linalg.inv(m_true) @ np.linalg.inv(m)
+    assert np.abs(err - np.eye(4)).max() < 0.05
