@@ -56,7 +56,9 @@ def parse_devkit_stats(result_dir: Path) -> dict:
 
 
 def mean_pair_time_ms(run_dir: Path) -> float:
-    """Mean per-pair time over all sequence txt files (col 26)."""
+    """Median per-pair time over all sequence txt files (col 26) — the
+    first frame per run carries the jit compile (minutes through the
+    remote helper), which would swamp a mean."""
     times = []
     for txt in run_dir.glob("*.txt"):
         try:
@@ -67,7 +69,7 @@ def mean_pair_time_ms(run_dir: Path) -> float:
             times.append(data[:, 25])
     if not times:
         return float("nan")
-    return float(np.concatenate(times).mean())
+    return float(np.median(np.concatenate(times)))
 
 
 def run_pipeline(run_dir: Path, env, log, devkit: bool) -> dict:
@@ -234,6 +236,31 @@ def write_docs(report: dict) -> None:
                 cell(s) for s in ("04", "06", "10", "TOTAL")
             ) + f" | {t_s} |"
         )
+    lines += [
+        "",
+        "Reading (r5 study, `.studies/icp/icp_study.json`):",
+        "",
+        "* **The speed story reproduces**: DeepCLR registers at 46-49",
+        "  ms/pair (8-lane batched; 1.24 ms amortized at batch 16) vs",
+        "  252-556 ms/pair for the classic baselines — 5-10x faster at",
+        "  sequence scale, and the gap is the reference's core claim",
+        "  (\"lowest run-time\", README).  ICP times are per-pair medians",
+        "  (compile excluded), full 32k-pt clouds, 100-iteration cap.",
+        "* **This synthetic world favors classic ICP on accuracy**: rich",
+        "  static geometry, no dynamic objects, no sensor noise — GICP's",
+        "  home turf (0.26 % t_err; po2pl/gicp rotation below the",
+        "  devkit's print precision).  po2po's 0.81 deg/m rotation shows",
+        "  the classic failure mode the covariance-weighted variants fix.",
+        "  On real KITTI the paper reports DeepCLR beating ICP on both",
+        "  axes; reproducing that needs real-world degradations the",
+        "  synthetic drives deliberately lack.",
+        "* The study also stress-tested the jax ICP at sequence scale for",
+        "  the first time and shook out a real bug: 42/597 GICP",
+        "  registrations went NaN (TPU f32 eigh -> indefinite regularized",
+        "  covariances -> cholesky NaN -> 0*NaN poisoning the normal",
+        "  equations) — fixed in `icp/icp.py` with a regression test",
+        "  (`tests/icp/test_icp.py::test_gicp_survives_indefinite_covariance`).",
+    ]
     if "modelnet40" in report:
         lines += [
             "",
